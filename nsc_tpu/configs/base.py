@@ -1,0 +1,171 @@
+"""Configuration system: frozen, hashable config dataclasses + a registry.
+
+Frozen dataclasses (rather than dicts) so a config can be passed as a static
+argument to `jax.jit` — the whole model builds shape/static structure from it
+at trace time, keeping everything inside one compiled XLA program.
+
+Named variants cover the contract's size/bitrate axis (BASELINE.json:7
+"smallest bitrate/codebook config" .. full-depth models).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Architecture of one codec variant (SEANet-style conv AE + RVQ).
+
+    Derived quantities:
+      hop = prod(strides)           # samples per latent frame
+      frame_rate = sample_rate/hop  # latent frames per second
+      bitrate(n_q) = frame_rate * n_q * log2(codebook_size)
+    """
+
+    name: str = "base"
+    sample_rate: int = 16_000
+    channels: int = 1  # mono (BASELINE.json:2,7)
+
+    # --- encoder/decoder conv stack (BASELINE.json:5: strided 1D-conv stacks,
+    # causal/dilated conv blocks) ---
+    base_width: int = 32           # channels after the stem conv
+    strides: Tuple[int, ...] = (2, 4, 5, 8)   # hop 320 -> 50 Hz frames @16k
+    stem_kernel: int = 7
+    residual_kernel: int = 3
+    dilations: Tuple[int, ...] = (1, 3, 9)    # per residual block in a stage
+    last_kernel: int = 3           # final encoder conv / first decoder conv
+    latent_dim: int = 128          # RVQ operates in this space
+    activation: str = "snake"      # "snake" | "elu"
+    causal: bool = True            # required for streaming encode (BASELINE.json:8)
+    norm: str = "weight_norm"      # "weight_norm" | "none"
+
+    # --- residual vector quantizer (BASELINE.json:5) ---
+    num_quantizers: int = 16       # max RVQ depth; variable at inference
+    codebook_size: int = 1024
+    codebook_dim: int = 128        # == latent_dim unless projected
+    ema_decay: float = 0.99
+    ema_eps: float = 1e-5          # Laplace smoothing for cluster sizes
+    commitment_weight: float = 0.25
+    # expired-code refresh: codes with EMA usage below this get re-seeded
+    threshold_dead_code: float = 2.0
+
+    # --- numerics ---
+    compute_dtype: str = "float32"  # "bfloat16" on TPU inference path
+    param_dtype: str = "float32"
+
+    @property
+    def hop(self) -> int:
+        h = 1
+        for s in self.strides:
+            h *= s
+        return h
+
+    @property
+    def frame_rate(self) -> float:
+        return self.sample_rate / self.hop
+
+    @property
+    def bits_per_codebook(self) -> int:
+        return (self.codebook_size - 1).bit_length()
+
+    def bitrate(self, n_q: int | None = None) -> float:
+        n_q = self.num_quantizers if n_q is None else n_q
+        return self.frame_rate * n_q * self.bits_per_codebook
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (codec-only and GAN modes, BASELINE.json:9-10)."""
+
+    batch_size: int = 64
+    segment_seconds: float = 1.0
+    lr_g: float = 3e-4
+    lr_d: float = 3e-4
+    adam_b1: float = 0.5
+    adam_b2: float = 0.9
+    steps: int = 400_000
+    warmup_steps: int = 0
+    grad_clip: float = 1e3
+    seed: int = 0
+
+    # loss weights
+    weight_l1_time: float = 0.1
+    weight_mel: float = 15.0
+    weight_stft: float = 2.0
+    weight_commit: float = 1.0
+    weight_adv: float = 1.0
+    weight_fm: float = 2.0
+
+    # GAN schedule
+    use_gan: bool = True
+    disc_start_step: int = 0
+
+    # multi-res STFT sizes (SURVEY.md §3 #12)
+    stft_fft_sizes: Tuple[int, ...] = (2048, 1024, 512, 256, 128)
+    mel_fft_size: int = 1024
+    mel_bins: int = 80
+
+    # quantizer-dropout: train with random RVQ depth for bandwidth
+    # scalability at inference (BASELINE.json:11)
+    quantizer_dropout: float = 0.5
+
+    checkpoint_every: int = 2000
+    log_every: int = 50
+
+
+_REGISTRY: Dict[str, Callable[[], CodecConfig]] = {}
+
+
+def register_config(name: str):
+    def deco(fn: Callable[[], CodecConfig]):
+        _REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+def get_config(name: str) -> CodecConfig:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown config {name!r}; have {sorted(_REGISTRY)}")
+    return _REGISTRY[name]()
+
+
+def list_configs() -> Tuple[str, ...]:
+    return tuple(sorted(_REGISTRY))
+
+
+@register_config("base")
+def _base() -> CodecConfig:
+    """Full model: 16 books x 1024 -> up to 8 kbps at 50 Hz frames."""
+    return CodecConfig(name="base")
+
+
+@register_config("small")
+def _small() -> CodecConfig:
+    """Smallest bitrate/codebook config (BASELINE.json:7): 2 books, narrow."""
+    return CodecConfig(
+        name="small",
+        base_width=16,
+        strides=(2, 4, 5, 8),
+        latent_dim=64,
+        codebook_dim=64,
+        num_quantizers=2,
+        codebook_size=256,
+    )
+
+
+@register_config("tiny_test")
+def _tiny_test() -> CodecConfig:
+    """CPU-fast config for unit/integration tests only."""
+    return CodecConfig(
+        name="tiny_test",
+        base_width=4,
+        strides=(2, 2),
+        dilations=(1, 3),
+        latent_dim=8,
+        codebook_dim=8,
+        num_quantizers=2,
+        codebook_size=16,
+    )
