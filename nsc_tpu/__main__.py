@@ -1,0 +1,112 @@
+"""CLI: compress/decompress WAV files from the command line (SURVEY.md §3 #21).
+
+  python -m nsc_tpu compress   in.wav out.nsc [--model base] [--n-q 8]
+  python -m nsc_tpu decompress in.nsc out.wav [--model base]
+  python -m nsc_tpu roundtrip  in.wav out.wav [--model base] [--n-q 8]
+  python -m nsc_tpu info       in.nsc
+  python -m nsc_tpu models
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="nsc_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_model_args(sp):
+        sp.add_argument("--model", default="base", help="config name")
+        sp.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
+        sp.add_argument("--seed", type=int, default=0)
+
+    c = sub.add_parser("compress", help="wav -> nsc bitstream")
+    c.add_argument("input"), c.add_argument("output")
+    c.add_argument("--n-q", type=int, default=None, help="codebooks to use")
+    add_model_args(c)
+
+    d = sub.add_parser("decompress", help="nsc bitstream -> wav")
+    d.add_argument("input"), d.add_argument("output")
+    d.add_argument("--n-q", type=int, default=None)
+    add_model_args(d)
+
+    r = sub.add_parser("roundtrip", help="wav -> codes -> wav")
+    r.add_argument("input"), r.add_argument("output")
+    r.add_argument("--n-q", type=int, default=None)
+    add_model_args(r)
+
+    i = sub.add_parser("info", help="print bitstream header")
+    i.add_argument("input")
+
+    sub.add_parser("models", help="list model configs")
+    return p
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    if args.cmd == "models":
+        from nsc_tpu.configs import get_config, list_configs
+
+        for name in list_configs():
+            cfg = get_config(name)
+            print(
+                f"{name:12s} hop={cfg.hop:4d} frame_rate={cfg.frame_rate:6.1f}Hz "
+                f"n_q={cfg.num_quantizers:2d} K={cfg.codebook_size:4d} "
+                f"max_bitrate={cfg.bitrate()/1000:.2f}kbps"
+            )
+        return 0
+
+    if args.cmd == "info":
+        from nsc_tpu.bitstream import BitstreamHeader
+
+        blob = open(args.input, "rb").read()
+        h, off = BitstreamHeader.from_bytes(blob)
+        dur = h.orig_len / h.sample_rate
+        bitrate = (len(blob) - off) * 8 / dur if dur else 0.0
+        print(
+            f"model={h.model_name} sr={h.sample_rate} hop={h.hop} "
+            f"n_q={h.n_q} bits={h.bits} frames={h.num_frames} "
+            f"duration={dur:.2f}s payload_bitrate={bitrate/1000:.2f}kbps"
+        )
+        return 0
+
+    import nsc_tpu
+    from nsc_tpu.utils import audio
+
+    bundle = nsc_tpu.load_model(
+        args.model, checkpoint=args.checkpoint, seed=args.seed
+    )
+
+    if args.cmd == "compress":
+        wav, _ = audio.load_wav(args.input, target_sr=bundle.cfg.sample_rate)
+        wav = audio.to_mono(wav)
+        blob = nsc_tpu.compress(bundle, wav, n_q=args.n_q)
+        open(args.output, "wb").write(blob)
+        ratio = wav.nbytes / len(blob)
+        print(f"wrote {args.output}: {len(blob)} bytes ({ratio:.1f}x vs f32 PCM)")
+        return 0
+
+    if args.cmd == "decompress":
+        blob = open(args.input, "rb").read()
+        wav = nsc_tpu.decompress(bundle, blob, n_q=args.n_q)
+        audio.save_wav(args.output, wav, bundle.cfg.sample_rate)
+        print(f"wrote {args.output}: {len(wav)} samples")
+        return 0
+
+    if args.cmd == "roundtrip":
+        wav, _ = audio.load_wav(args.input, target_sr=bundle.cfg.sample_rate)
+        wav = audio.to_mono(wav)
+        blob = nsc_tpu.compress(bundle, wav, n_q=args.n_q)
+        out = nsc_tpu.decompress(bundle, blob)
+        audio.save_wav(args.output, out, bundle.cfg.sample_rate)
+        print(f"wrote {args.output} ({len(blob)} byte stream)")
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,164 @@
+"""Public API: load_model / encode / decode / compress / decompress
+(SURVEY.md §3 #9; BASELINE.json:5 "public encode/decode/compress API").
+
+Host<->device boundaries follow SURVEY.md §4.1-4.2: waveforms go host->TPU
+once per call, only int32 indices cross back on encode, and bit-packing is
+host-side numpy. Compiled graphs are cached by (model config, depth, padded
+length) through jax.jit's static-argument cache — the model object is a
+frozen dataclass, so it IS the cache key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsc_tpu import bitstream
+from nsc_tpu.configs import CodecConfig, get_config, list_configs
+from nsc_tpu.models.codec import NeuralSpeechCodec, init_codec
+
+ArrayLike = Union[np.ndarray, jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelBundle:
+    """A loaded codec: static model + parameter/quantizer pytrees."""
+
+    model: NeuralSpeechCodec
+    params: dict
+    rvq: dict
+
+    @property
+    def cfg(self) -> CodecConfig:
+        return self.model.cfg
+
+
+def list_models() -> tuple:
+    return list_configs()
+
+
+def load_model(
+    name: str = "base",
+    *,
+    checkpoint: Optional[str] = None,
+    seed: int = 0,
+) -> ModelBundle:
+    """Build a codec by config name; optionally restore weights from an orbax
+    checkpoint directory (as written by nsc_tpu.train). Without a checkpoint,
+    weights are deterministic random init — no published reference
+    checkpoints are reachable in this environment (SURVEY.md §0)."""
+    cfg = get_config(name)
+    model, params, rvq = init_codec(jax.random.PRNGKey(seed), cfg)
+    if checkpoint is not None:
+        from nsc_tpu.train.checkpoint import restore_inference
+
+        params, rvq = restore_inference(checkpoint, params, rvq)
+    return ModelBundle(model, params, rvq)
+
+
+# ---------------------------------------------------------------------------
+# jitted cores (static: model, n_q; cached per padded length)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n_q"))
+def _encode_jit(model, params, rvq, wav, n_q):
+    return model.encode(params, rvq, wav, n_q=n_q)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n_q"))
+def _decode_jit(model, params, rvq, indices, n_q):
+    return model.decode(params, rvq, indices, n_q=n_q)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n_q"))
+def _reconstruct_jit(model, params, rvq, wav, n_q):
+    return model.reconstruct(params, rvq, wav, n_q=n_q)
+
+
+def _pad_to_hop(wav: np.ndarray, hop: int) -> np.ndarray:
+    t = wav.shape[-1]
+    pad = (-t) % hop
+    if pad:
+        wav = np.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(0, pad)])
+    return wav
+
+
+def _as_batch(wav: ArrayLike) -> tuple[np.ndarray, bool]:
+    arr = np.asarray(wav, dtype=np.float32)
+    if arr.ndim == 1:
+        return arr[None], True
+    if arr.ndim == 2:
+        return arr, False
+    raise ValueError(f"expected (T,) or (N, T) waveform, got {arr.shape}")
+
+
+# ---------------------------------------------------------------------------
+# public functions
+# ---------------------------------------------------------------------------
+
+
+def encode(
+    bundle: ModelBundle, wav: ArrayLike, n_q: Optional[int] = None
+) -> np.ndarray:
+    """Waveform -> codebook indices. (T,) -> (F, n_q); (N, T) -> (N, F, n_q)."""
+    batch, single = _as_batch(wav)
+    batch = _pad_to_hop(batch, bundle.cfg.hop)
+    idx = _encode_jit(bundle.model, bundle.params, bundle.rvq, jnp.asarray(batch), n_q)
+    idx = np.asarray(idx)
+    return idx[0] if single else idx
+
+
+def decode(
+    bundle: ModelBundle, indices: ArrayLike, n_q: Optional[int] = None
+) -> np.ndarray:
+    """Codebook indices -> waveform. (F, n_q) -> (F*hop,); batched likewise."""
+    idx = np.asarray(indices, dtype=np.int32)
+    single = idx.ndim == 2
+    if single:
+        idx = idx[None]
+    wav = _decode_jit(bundle.model, bundle.params, bundle.rvq, jnp.asarray(idx), n_q)
+    wav = np.asarray(wav, dtype=np.float32)
+    return wav[0] if single else wav
+
+
+def compress(
+    bundle: ModelBundle, wav: ArrayLike, n_q: Optional[int] = None
+) -> bytes:
+    """(T,) waveform -> serialized NSC bitstream (header + index planes)."""
+    arr = np.asarray(wav, dtype=np.float32)
+    if arr.ndim != 1:
+        raise ValueError("compress takes a single (T,) waveform")
+    cfg = bundle.cfg
+    idx = encode(bundle, arr, n_q=n_q)
+    header = bitstream.BitstreamHeader(
+        model_name=cfg.name,
+        bits=cfg.bits_per_codebook,
+        n_q=idx.shape[-1],
+        sample_rate=cfg.sample_rate,
+        hop=cfg.hop,
+        num_frames=idx.shape[0],
+        orig_len=arr.shape[0],
+    )
+    return bitstream.serialize(header, idx)
+
+
+def decompress(
+    bundle: ModelBundle, blob: bytes, n_q: Optional[int] = None
+) -> np.ndarray:
+    """Serialized bitstream -> (orig_len,) waveform."""
+    header, idx = bitstream.deserialize(blob, max_n_q=n_q)
+    cfg = bundle.cfg
+    if header.hop != cfg.hop or header.sample_rate != cfg.sample_rate:
+        raise ValueError(
+            f"bitstream was made by model {header.model_name!r} "
+            f"(sr={header.sample_rate}, hop={header.hop}); loaded model "
+            f"{cfg.name!r} (sr={cfg.sample_rate}, hop={cfg.hop}) is incompatible"
+        )
+    wav = decode(bundle, idx)
+    return wav[: header.orig_len]

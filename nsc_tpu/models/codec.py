@@ -1,0 +1,118 @@
+"""The codec model: encoder + RVQ + decoder (SURVEY.md §3 #7; call stacks
+§4.1-4.2).
+
+`NeuralSpeechCodec` is a thin static composition — all state lives in two
+pytrees passed explicitly (functional, jit/shard_map-friendly):
+
+  params = {'encoder': ..., 'decoder': ...}   # gradient-trained
+  rvq    = {'codebooks', 'ema_count', 'ema_sum'}  # EMA-updated, non-gradient
+
+The class holds only the (hashable, static) CodecConfig, so methods can be
+jitted with the model as a static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nsc_tpu.configs import CodecConfig
+from nsc_tpu.models import seanet
+from nsc_tpu.ops import rvq as rvq_ops
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class NeuralSpeechCodec:
+    cfg: CodecConfig
+
+    # -- inference ---------------------------------------------------------
+
+    def encode(
+        self, params: Params, rvq: rvq_ops.RVQState, wav: jax.Array,
+        n_q: Optional[int] = None,
+    ) -> jax.Array:
+        """(N, T) or (N, T, 1) waveform -> (N, F, n_q) int32 indices."""
+        x = self._shape_wav(wav)
+        z = seanet.apply_encoder(params["encoder"], x, self.cfg)
+        return rvq_ops.quantize(rvq, z, n_q=n_q)
+
+    def decode(
+        self, params: Params, rvq: rvq_ops.RVQState, indices: jax.Array,
+        n_q: Optional[int] = None,
+    ) -> jax.Array:
+        """(N, F, n_q) indices -> (N, F*hop) waveform."""
+        z = rvq_ops.dequantize(rvq, indices, n_q=n_q)
+        z = z.astype(self.compute_dtype)
+        wav = seanet.apply_decoder(params["decoder"], z, self.cfg)
+        return wav[..., 0]
+
+    def reconstruct(
+        self, params: Params, rvq: rvq_ops.RVQState, wav: jax.Array,
+        n_q: Optional[int] = None,
+    ) -> jax.Array:
+        """encode -> decode in one jittable graph (the RTF benchmark path,
+        BASELINE.json:2)."""
+        return self.decode(params, rvq, self.encode(params, rvq, wav, n_q), n_q)
+
+    # -- training ----------------------------------------------------------
+
+    def forward(
+        self,
+        params: Params,
+        rvq: rvq_ops.RVQState,
+        wav: jax.Array,
+        *,
+        depth: Optional[jax.Array] = None,
+        axis_name: Optional[str] = None,
+    ) -> Tuple[jax.Array, rvq_ops.RVQForward, jax.Array]:
+        """Full differentiable pass for training (SURVEY.md §4.3).
+
+        Returns (reconstructed_wav (N,T), rvq_forward, latents (N,F,D)).
+        Gradients flow encoder<->decoder through the RVQ straight-through
+        estimator; EMA stats ride along in rvq_forward.
+        """
+        x = self._shape_wav(wav)
+        z = seanet.apply_encoder(params["encoder"], x, self.cfg)
+        fwd = rvq_ops.forward(rvq, z, depth=depth, axis_name=axis_name)
+        zq = fwd.quantized.astype(self.compute_dtype)
+        recon = seanet.apply_decoder(params["decoder"], zq, self.cfg)
+        return recon[..., 0], fwd, z
+
+    # -- helpers -----------------------------------------------------------
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.cfg.compute_dtype)
+
+    def _shape_wav(self, wav: jax.Array) -> jax.Array:
+        if wav.ndim == 2:
+            wav = wav[..., None]
+        if wav.ndim != 3 or wav.shape[-1] != self.cfg.channels:
+            raise ValueError(
+                f"expected (N, T) or (N, T, {self.cfg.channels}), got {wav.shape}"
+            )
+        return wav.astype(self.compute_dtype)
+
+    def frames_for_samples(self, t: int) -> int:
+        return (t - 1) // self.cfg.hop + 1
+
+
+def init_codec(
+    key: jax.Array, cfg: CodecConfig
+) -> Tuple[NeuralSpeechCodec, Params, rvq_ops.RVQState]:
+    ke, kd, kq = jax.random.split(key, 3)
+    params = {
+        "encoder": seanet.init_encoder(ke, cfg),
+        "decoder": seanet.init_decoder(kd, cfg),
+    }
+    rvq = rvq_ops.init_rvq(kq, cfg)
+    return NeuralSpeechCodec(cfg), params, rvq
+
+
+def param_count(tree) -> int:
+    return sum(x.size for x in jax.tree.leaves(tree))

@@ -1,0 +1,179 @@
+"""SEANet-style convolutional encoder/decoder stacks (SURVEY.md §3 #4-5;
+BASELINE.json:5 "strided 1D-conv encoder/decoder stacks" with "causal/dilated
+conv blocks").
+
+Structure (canonical for the SoundStream/EnCodec/DAC family the contract
+describes — SURVEY.md §1):
+
+  Encoder: stem conv -> [residual units (dilated) + strided down-conv] per
+  stage (channels double) -> final conv to latent_dim. Overall hop =
+  prod(strides) (320 -> 50 Hz latent frames at 16 kHz for the base config).
+
+  Decoder: exact mirror with transposed strided convs.
+
+All convs are causal when cfg.causal (required for streaming encode,
+BASELINE.json:8). Stages are unrolled at trace time (static shapes; channel
+widths differ per stage so lax.scan doesn't apply) — XLA sees one flat graph
+and fuses activations into the convs.
+
+Params are nested dict pytrees; construction order defines the torch
+checkpoint name-mapping (nsc_tpu/compat/torch_compat.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from nsc_tpu.configs import CodecConfig
+from nsc_tpu.ops import conv as C
+
+Params = Dict[str, Any]
+
+
+def _stage_widths(cfg: CodecConfig) -> List[int]:
+    """Channel width entering each encoder stage; doubles per stage."""
+    return [cfg.base_width * (2**i) for i in range(len(cfg.strides))]
+
+
+def encoder_final_width(cfg: CodecConfig) -> int:
+    return cfg.base_width * (2 ** len(cfg.strides))
+
+
+# ---------------------------------------------------------------------------
+# residual unit
+# ---------------------------------------------------------------------------
+
+
+def _init_residual_unit(
+    key: jax.Array, ch: int, kernel: int, cfg: CodecConfig
+) -> Params:
+    k1, k2 = jax.random.split(key)
+    wn = cfg.norm == "weight_norm"
+    return {
+        "act1": C.activation_init(cfg.activation, ch),
+        "conv1": C.init_conv(k1, kernel, ch, ch, weight_norm=wn),
+        "act2": C.activation_init(cfg.activation, ch),
+        "conv2": C.init_conv(k2, 1, ch, ch, weight_norm=wn),
+    }
+
+
+def _apply_residual_unit(
+    p: Params, x: jax.Array, dilation: int, cfg: CodecConfig, padding: str
+) -> jax.Array:
+    h = C.activation(cfg.activation, x, p["act1"])
+    h = C.conv1d(h, p["conv1"], dilation=dilation, padding=padding)
+    h = C.activation(cfg.activation, h, p["act2"])
+    h = C.conv1d(h, p["conv2"], padding=padding)
+    return x + h
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def init_encoder(key: jax.Array, cfg: CodecConfig) -> Params:
+    wn = cfg.norm == "weight_norm"
+    keys = jax.random.split(key, 2 + len(cfg.strides))
+    params: Params = {
+        "stem": C.init_conv(
+            keys[0], cfg.stem_kernel, cfg.channels, cfg.base_width, weight_norm=wn
+        )
+    }
+    stages = []
+    for i, (stride, kk) in enumerate(zip(cfg.strides, keys[1:-1])):
+        ch = cfg.base_width * (2**i)
+        uks = jax.random.split(kk, len(cfg.dilations) + 1)
+        units = [
+            _init_residual_unit(uks[j], ch, cfg.residual_kernel, cfg)
+            for j in range(len(cfg.dilations))
+        ]
+        stages.append(
+            {
+                "units": units,
+                "down_act": C.activation_init(cfg.activation, ch),
+                "down": C.init_conv(
+                    uks[-1], 2 * stride, ch, 2 * ch, weight_norm=wn
+                ),
+            }
+        )
+    params["stages"] = stages
+    params["final_act"] = C.activation_init(
+        cfg.activation, encoder_final_width(cfg)
+    )
+    params["final"] = C.init_conv(
+        keys[-1],
+        cfg.last_kernel,
+        encoder_final_width(cfg),
+        cfg.latent_dim,
+        weight_norm=wn,
+    )
+    return params
+
+
+def apply_encoder(p: Params, x: jax.Array, cfg: CodecConfig) -> jax.Array:
+    """(N, T, 1) waveform -> (N, T/hop, latent_dim) latents."""
+    pad = "causal" if cfg.causal else "same"
+    h = C.conv1d(x, p["stem"], padding=pad)
+    for stage, stride in zip(p["stages"], cfg.strides):
+        for unit, dil in zip(stage["units"], cfg.dilations):
+            h = _apply_residual_unit(unit, h, dil, cfg, pad)
+        h = C.activation(cfg.activation, h, stage["down_act"])
+        h = C.conv1d(h, stage["down"], stride=stride, padding=pad)
+    h = C.activation(cfg.activation, h, p["final_act"])
+    return C.conv1d(h, p["final"], padding=pad)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def init_decoder(key: jax.Array, cfg: CodecConfig) -> Params:
+    wn = cfg.norm == "weight_norm"
+    keys = jax.random.split(key, 2 + len(cfg.strides))
+    width = encoder_final_width(cfg)
+    params: Params = {
+        "stem": C.init_conv(
+            keys[0], cfg.last_kernel, cfg.latent_dim, width, weight_norm=wn
+        )
+    }
+    stages = []
+    for i, (stride, kk) in enumerate(zip(reversed(cfg.strides), keys[1:-1])):
+        ch = width // (2**i)
+        uks = jax.random.split(kk, len(cfg.dilations) + 1)
+        stages.append(
+            {
+                "up_act": C.activation_init(cfg.activation, ch),
+                "up": C.init_conv(
+                    uks[-1], 2 * stride, ch, ch // 2, weight_norm=wn
+                ),
+                "units": [
+                    _init_residual_unit(uks[j], ch // 2, cfg.residual_kernel, cfg)
+                    for j in range(len(cfg.dilations))
+                ],
+            }
+        )
+    params["stages"] = stages
+    params["final_act"] = C.activation_init(cfg.activation, cfg.base_width)
+    params["final"] = C.init_conv(
+        keys[-1], cfg.stem_kernel, cfg.base_width, cfg.channels, weight_norm=wn
+    )
+    return params
+
+
+def apply_decoder(p: Params, z: jax.Array, cfg: CodecConfig) -> jax.Array:
+    """(N, F, latent_dim) latents -> (N, F*hop, 1) waveform in (-1, 1)."""
+    pad = "causal" if cfg.causal else "same"
+    h = C.conv1d(z, p["stem"], padding=pad)
+    for stage, stride in zip(p["stages"], reversed(cfg.strides)):
+        h = C.activation(cfg.activation, h, stage["up_act"])
+        h = C.conv_transpose1d(h, stage["up"], stride=stride, causal=cfg.causal)
+        for unit, dil in zip(stage["units"], cfg.dilations):
+            h = _apply_residual_unit(unit, h, dil, cfg, pad)
+    h = C.activation(cfg.activation, h, p["final_act"])
+    h = C.conv1d(h, p["final"], padding=pad)
+    return jnp.tanh(h)

@@ -1,0 +1,231 @@
+"""Residual vector quantizer (SURVEY.md §3 #6; BASELINE.json:5 "multi-codebook
+nearest-neighbor search + straight-through estimator, EMA codebook updates";
+distance-argmin is a declared Pallas hot path — see
+nsc_tpu/ops/pallas/rvq_argmin.py for the fused kernel; this module is the
+pure-XLA reference lowering the kernel must match exactly).
+
+TPU-first design:
+  * Distances computed as ||c||^2 - 2 r.c — one (M,D)x(D,K) matmul on the MXU
+    per book; the ||r||^2 term is constant per row and dropped (argmin-safe).
+    The formula and f32 accumulation are FIXED for bit-exact index parity
+    (SURVEY.md §8 hard-part #1); ties break to the lowest index (jnp.argmin).
+  * The book loop is a lax.scan over the codebook axis (static depth), so the
+    whole RVQ is one fused XLA while-loop — no Python-level unrolling.
+  * EMA statistics (per-book assignment counts and vector sums) are returned
+    from the forward pass and folded into state by `ema_update`; under data
+    parallelism they must be psum'd over the batch axis first (pass
+    `axis_name` to `forward`). This keeps codebooks bit-identical across
+    replicas (SURVEY.md §8 hard-part #2).
+  * Depth is variable: inference slices the first n_q books (RVQ prefix
+    property: indices of the first d books are independent of total depth);
+    training supports per-sample random depth (quantizer dropout) for
+    bandwidth scalability (BASELINE.json:11).
+
+State pytree (all non-gradient, updated by EMA):
+  {'codebooks': (n_q, K, D), 'ema_count': (n_q, K), 'ema_sum': (n_q, K, D)}
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nsc_tpu.configs import CodecConfig
+
+RVQState = Dict[str, jax.Array]
+
+
+def init_rvq(key: jax.Array, cfg: CodecConfig) -> RVQState:
+    if cfg.codebook_dim != cfg.latent_dim:
+        raise NotImplementedError(
+            "codebook_dim != latent_dim (factorized codes) not yet supported"
+        )
+    n_q, k, d = cfg.num_quantizers, cfg.codebook_size, cfg.codebook_dim
+    cb = jax.random.normal(key, (n_q, k, d), jnp.float32)
+    return {
+        "codebooks": cb,
+        "ema_count": jnp.zeros((n_q, k), jnp.float32),
+        "ema_sum": cb.copy(),
+    }
+
+
+def _nearest(residual: jax.Array, codebook: jax.Array) -> jax.Array:
+    """argmin_k ||r - c_k||^2 for r: (M, D), codebook: (K, D) -> (M,) int32.
+
+    Fixed formula for cross-framework index parity: ||c||^2 - 2 r.c in f32,
+    lowest index wins ties.
+    """
+    r = residual.astype(jnp.float32)
+    c = codebook.astype(jnp.float32)
+    c_sq = jnp.sum(c * c, axis=-1)  # (K,)
+    scores = c_sq[None, :] - 2.0 * jnp.dot(
+        r, c.T, preferred_element_type=jnp.float32
+    )  # (M, K)
+    return jnp.argmin(scores, axis=-1).astype(jnp.int32)
+
+
+class RVQForward(NamedTuple):
+    quantized: jax.Array        # (..., D) — STE-passthrough quantized latents
+    indices: jax.Array          # (..., n_q) int32 codebook indices
+    commit_loss: jax.Array      # scalar commitment loss
+    counts: jax.Array           # (n_q, K) assignment counts (for EMA)
+    sums: jax.Array             # (n_q, K, D) assigned-vector sums (for EMA)
+    usage: jax.Array            # (n_q,) fraction of codes used this batch
+
+
+def quantize(
+    state: RVQState, z: jax.Array, n_q: Optional[int] = None
+) -> jax.Array:
+    """Encode latents to indices. z: (..., D) -> (..., n_q) int32."""
+    books = state["codebooks"] if n_q is None else state["codebooks"][:n_q]
+    lead = z.shape[:-1]
+    r = z.reshape(-1, z.shape[-1]).astype(jnp.float32)
+
+    def step(residual, cb):
+        idx = _nearest(residual, cb)
+        return residual - cb[idx], idx
+
+    _, idxs = lax.scan(step, r, books)  # idxs: (n_q, M)
+    return jnp.moveaxis(idxs, 0, -1).reshape(*lead, books.shape[0])
+
+
+def dequantize(
+    state: RVQState, indices: jax.Array, n_q: Optional[int] = None
+) -> jax.Array:
+    """Decode indices to latents. indices: (..., n_q_in) -> (..., D).
+
+    If n_q is given, only the first n_q books are summed (bitrate truncation,
+    BASELINE.json:11)."""
+    used = indices.shape[-1] if n_q is None else n_q
+    books = state["codebooks"][:used]  # (n_q, K, D)
+    idx = jnp.moveaxis(indices[..., :used], -1, 0)  # (n_q, ...)
+
+    def step(acc, book_and_idx):
+        cb, i = book_and_idx
+        return acc + cb[i], None
+
+    lead = idx.shape[1:]
+    acc0 = jnp.zeros((*lead, books.shape[-1]), jnp.float32)
+    out, _ = lax.scan(step, acc0, (books, idx))
+    return out
+
+
+def forward(
+    state: RVQState,
+    z: jax.Array,
+    *,
+    n_q: Optional[int] = None,
+    depth: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
+) -> RVQForward:
+    """Training/inference forward: quantize with STE and collect EMA stats.
+
+    z: (N, T, D). `depth`: optional (N,) int array of per-sample active book
+    counts (quantizer dropout); books q >= depth[i] are excluded from the
+    output sum and from EMA stats for sample i, but the residual chain is the
+    full-depth chain, preserving the RVQ prefix property (indices of active
+    books match what a shallower encode would produce).
+    """
+    cfg_books = state["codebooks"] if n_q is None else state["codebooks"][:n_q]
+    num_books, k, d = cfg_books.shape
+    n, t, _ = z.shape
+    m = n * t
+    zf = z.reshape(m, d).astype(jnp.float32)
+
+    if depth is None:
+        sample_mask = jnp.ones((num_books, m), jnp.float32)
+    else:
+        q_ids = jnp.arange(num_books)[:, None]  # (n_q, 1)
+        per_sample = (q_ids < depth[None, :]).astype(jnp.float32)  # (n_q, N)
+        sample_mask = jnp.repeat(per_sample, t, axis=1)  # (n_q, N*T)
+
+    def step(carry, xs):
+        residual, acc = carry
+        cb, mask = xs  # cb: (K, D), mask: (M,)
+        idx = _nearest(residual, cb)
+        quant = cb[idx]  # (M, D)
+        onehot = jax.nn.one_hot(idx, k, dtype=jnp.float32) * mask[:, None]
+        counts = jnp.sum(onehot, axis=0)  # (K,)
+        sums = jnp.dot(
+            onehot.T, residual, preferred_element_type=jnp.float32
+        )  # (K, D)
+        acc = acc + quant * mask[:, None]
+        residual = residual - quant  # full chain (prefix property)
+        usage = jnp.mean((counts > 0).astype(jnp.float32))
+        return (residual, acc), (idx, counts, sums, usage)
+
+    (_, acc), (idxs, counts, sums, usage) = lax.scan(
+        step, (zf, jnp.zeros_like(zf)), (cfg_books, sample_mask)
+    )
+
+    if axis_name is not None:
+        counts = lax.psum(counts, axis_name)
+        sums = lax.psum(sums, axis_name)
+
+    zq = acc.reshape(n, t, d)
+    # commitment loss: pull encoder output toward its (masked) quantization
+    commit = jnp.mean(jnp.square(z.astype(jnp.float32) - lax.stop_gradient(zq)))
+    # straight-through: gradients flow to z, values come from zq
+    zq_ste = z + lax.stop_gradient(zq - z.astype(jnp.float32)).astype(z.dtype)
+
+    indices = jnp.moveaxis(idxs, 0, -1).reshape(n, t, num_books)
+    return RVQForward(zq_ste, indices, commit, counts, sums, usage)
+
+
+def ema_update(
+    state: RVQState,
+    counts: jax.Array,
+    sums: jax.Array,
+    *,
+    decay: float = 0.99,
+    eps: float = 1e-5,
+    dead_threshold: float = 2.0,
+    reseed_vectors: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+) -> RVQState:
+    """Fold one batch's assignment stats into the EMA codebooks.
+
+    Standard VQ-VAE EMA with Laplace smoothing; codes whose EMA usage falls
+    below `dead_threshold` are reseeded from `reseed_vectors` (a (M, D) pool
+    of encoder outputs from the current batch) to prevent codebook collapse.
+    Under DP, `counts`/`sums` must already be psum'd (forward(axis_name=...)).
+    """
+    n_q_used = counts.shape[0]
+    cb_all = state["codebooks"]
+    ema_count = state["ema_count"]
+    ema_sum = state["ema_sum"]
+
+    new_count = decay * ema_count[:n_q_used] + (1.0 - decay) * counts
+    new_sum = decay * ema_sum[:n_q_used] + (1.0 - decay) * sums
+
+    total = jnp.sum(new_count, axis=-1, keepdims=True)  # (n_q, 1)
+    k = new_count.shape[-1]
+    smoothed = (new_count + eps) / (total + k * eps) * total
+    new_cb = new_sum / smoothed[..., None]
+
+    if reseed_vectors is not None and key is not None:
+        m = reseed_vectors.shape[0]
+        pick = jax.random.randint(key, (n_q_used, k), 0, m)
+        candidates = reseed_vectors[pick]  # (n_q, K, D)
+        dead = (new_count < dead_threshold)[..., None]
+        new_cb = jnp.where(dead, candidates, new_cb)
+        # reset EMA stats of reseeded codes so they don't instantly re-die
+        new_sum = jnp.where(dead, candidates, new_sum)
+        new_count = jnp.where(dead[..., 0], jnp.ones_like(new_count), new_count)
+
+    return {
+        "codebooks": cb_all.at[:n_q_used].set(new_cb),
+        "ema_count": ema_count.at[:n_q_used].set(new_count),
+        "ema_sum": ema_sum.at[:n_q_used].set(new_sum),
+    }
+
+
+def codebook_perplexity(counts: jax.Array) -> jax.Array:
+    """exp(entropy) of the batch assignment distribution, per book — the
+    dead-code / collapse observability metric (SURVEY.md §6 metrics row)."""
+    p = counts / jnp.maximum(jnp.sum(counts, axis=-1, keepdims=True), 1e-9)
+    ent = -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0), axis=-1)
+    return jnp.exp(ent)

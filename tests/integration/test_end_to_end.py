@@ -1,0 +1,100 @@
+"""Minimum end-to-end slice (BASELINE.json:7, config #1): 10 s 16 kHz mono
+WAV encode -> RVQ -> decode on CPU, smallest config; full compress ->
+decompress round-trip with exact index recovery."""
+
+import numpy as np
+import pytest
+
+import nsc_tpu
+from nsc_tpu import bitstream
+from nsc_tpu.utils import audio
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return nsc_tpu.load_model("tiny_test")
+
+
+@pytest.fixture(scope="module")
+def wav10s():
+    sr = 16000
+    t = np.arange(10 * sr, dtype=np.float32) / sr
+    # speech-ish chirp + harmonics, bounded
+    w = 0.4 * np.sin(2 * np.pi * (100 + 50 * t) * t) + 0.2 * np.sin(2 * np.pi * 440 * t)
+    return w.astype(np.float32)
+
+
+def test_encode_shapes(bundle, wav10s):
+    idx = nsc_tpu.encode(bundle, wav10s)
+    cfg = bundle.cfg
+    assert idx.shape == (len(wav10s) // cfg.hop, cfg.num_quantizers)
+    assert idx.dtype == np.int32
+    assert idx.min() >= 0 and idx.max() < cfg.codebook_size
+
+
+def test_decode_shape_and_range(bundle, wav10s):
+    idx = nsc_tpu.encode(bundle, wav10s)
+    out = nsc_tpu.decode(bundle, idx)
+    assert out.shape == (idx.shape[0] * bundle.cfg.hop,)
+    assert np.all(np.abs(out) <= 1.0)  # tanh-bounded
+
+
+def test_compress_decompress_roundtrip(bundle, wav10s):
+    blob = nsc_tpu.compress(bundle, wav10s)
+    # indices recovered from the bitstream are bit-exact
+    _, idx = bitstream.deserialize(blob)
+    np.testing.assert_array_equal(idx, nsc_tpu.encode(bundle, wav10s))
+    out = nsc_tpu.decompress(bundle, blob)
+    assert out.shape == wav10s.shape
+    # decompress equals direct decode of the same indices (same graph)
+    direct = nsc_tpu.decode(bundle, idx)[: len(wav10s)]
+    np.testing.assert_allclose(out, direct, atol=1e-6)
+
+
+def test_encode_deterministic(bundle, wav10s):
+    a = nsc_tpu.encode(bundle, wav10s)
+    b = nsc_tpu.encode(bundle, wav10s)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bitrate_truncation_decodes(bundle, wav10s):
+    blob = nsc_tpu.compress(bundle, wav10s)
+    short = bitstream.truncate(blob, 1)
+    out = nsc_tpu.decompress(bundle, short)
+    assert out.shape == wav10s.shape
+
+
+def test_variable_depth_encode(bundle, wav10s):
+    full = nsc_tpu.encode(bundle, wav10s)
+    shallow = nsc_tpu.encode(bundle, wav10s, n_q=1)
+    np.testing.assert_array_equal(shallow, full[:, :1])
+
+
+def test_batched_encode_matches_single(bundle):
+    rng = np.random.RandomState(0)
+    batch = rng.randn(3, 16000).astype(np.float32) * 0.1
+    all_idx = nsc_tpu.encode(bundle, batch)
+    for i in range(3):
+        one = nsc_tpu.encode(bundle, batch[i])
+        np.testing.assert_array_equal(all_idx[i], one)
+
+
+def test_wav_file_to_bitstream_file(bundle, wav10s, tmp_path):
+    """The full user journey: wav file -> .nsc file -> wav file."""
+    src = str(tmp_path / "in.wav")
+    audio.save_wav(src, wav10s, 16000)
+    loaded, sr = audio.load_wav(src, target_sr=bundle.cfg.sample_rate)
+    blob = nsc_tpu.compress(bundle, loaded)
+    (tmp_path / "x.nsc").write_bytes(blob)
+    out = nsc_tpu.decompress(bundle, (tmp_path / "x.nsc").read_bytes())
+    assert out.shape == loaded.shape
+    # compression ratio sanity: 2 books x 4 bits / frame of 4 samples
+    # = 2 bits/sample vs 16-bit PCM
+    assert len(blob) < len(wav10s) * 2 * 0.2
+
+
+def test_wrong_model_rejected(bundle, wav10s):
+    blob = nsc_tpu.compress(bundle, wav10s)
+    other = nsc_tpu.load_model("small")
+    with pytest.raises(ValueError, match="incompatible"):
+        nsc_tpu.decompress(other, blob)

@@ -1,0 +1,84 @@
+import numpy as np
+import pytest
+
+from nsc_tpu import bitstream as B
+
+
+def _header(frames=100, n_q=4, bits=10):
+    return B.BitstreamHeader(
+        model_name="base", bits=bits, n_q=n_q,
+        sample_rate=16000, hop=320, num_frames=frames, orig_len=frames * 320,
+    )
+
+
+def test_header_roundtrip():
+    h = _header()
+    blob = h.to_bytes()
+    h2, off = B.BitstreamHeader.from_bytes(blob)
+    assert h2 == h
+    assert off == len(blob)
+
+
+def test_header_golden_bytes():
+    """Pin the wire format: any change to these bytes is a format break."""
+    h = B.BitstreamHeader("ab", bits=10, n_q=2, sample_rate=16000,
+                          hop=320, num_frames=3, orig_len=960)
+    expect = (
+        b"NSC1" + bytes([1, 0, 2]) + b"ab"
+        + bytes([10, 2, 0]) + (16000).to_bytes(4, "little")
+        + (320).to_bytes(2, "little") + (3).to_bytes(4, "little")
+        + (960).to_bytes(4, "little")
+    )
+    assert h.to_bytes() == expect
+
+
+def test_plane_pack_unpack_exact():
+    rng = np.random.RandomState(0)
+    for bits in (1, 4, 8, 10, 12, 16):
+        vals = rng.randint(0, 2**bits, size=999).astype(np.int32)
+        packed = B.pack_plane(vals, bits)
+        assert len(packed) == B.plane_nbytes(999, bits)
+        back = B.unpack_plane(packed, 999, bits)
+        np.testing.assert_array_equal(back, vals)
+
+
+def test_frames_roundtrip_and_serialize():
+    rng = np.random.RandomState(1)
+    idx = rng.randint(0, 1024, size=(100, 4)).astype(np.int32)
+    h = _header(frames=100, n_q=4, bits=10)
+    blob = B.serialize(h, idx)
+    h2, idx2 = B.deserialize(blob)
+    assert h2 == h
+    np.testing.assert_array_equal(idx2, idx)
+
+
+def test_truncation_drops_fine_planes():
+    rng = np.random.RandomState(2)
+    idx = rng.randint(0, 1024, size=(50, 8)).astype(np.int32)
+    blob = B.serialize(_header(50, 8), idx)
+    short = B.truncate(blob, 3)
+    assert len(short) < len(blob)
+    h, idx2 = B.deserialize(short)
+    assert h.n_q == 3
+    np.testing.assert_array_equal(idx2, idx[:, :3])
+
+
+def test_raw_byte_truncation_also_decodes():
+    """Even without rewriting the header, chopping trailing plane bytes
+    yields a decodable stream with fewer books (byte-level scalability)."""
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 1024, size=(50, 8)).astype(np.int32)
+    blob = B.serialize(_header(50, 8), idx)
+    per = B.plane_nbytes(50, 10)
+    chopped = blob[: len(blob) - 5 * per]  # drop last 5 planes mid-stream
+    _, idx2 = B.deserialize(chopped)
+    np.testing.assert_array_equal(idx2, idx[:, :3])
+
+
+def test_bad_inputs():
+    with pytest.raises(B.BitstreamError):
+        B.BitstreamHeader.from_bytes(b"XXXX" + bytes(20))
+    with pytest.raises(B.BitstreamError):
+        B.pack_plane(np.array([1024]), 10)  # exceeds bit width
+    with pytest.raises(B.BitstreamError):
+        B.deserialize(_header(10, 2).to_bytes())  # no payload at all
