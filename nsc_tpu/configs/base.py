@@ -101,6 +101,7 @@ class TrainConfig:
     # GAN schedule
     use_gan: bool = True
     disc_start_step: int = 0
+    disc_width_mult: float = 1.0  # scales MS/MP discriminator channel widths
 
     # multi-res STFT sizes (SURVEY.md §3 #12)
     stft_fft_sizes: Tuple[int, ...] = (2048, 1024, 512, 256, 128)

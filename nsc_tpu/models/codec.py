@@ -49,7 +49,7 @@ class NeuralSpeechCodec:
         z = rvq_ops.dequantize(rvq, indices, n_q=n_q)
         z = z.astype(self.compute_dtype)
         wav = seanet.apply_decoder(params["decoder"], z, self.cfg)
-        return wav[..., 0]
+        return wav[..., 0].astype(jnp.float32)
 
     def reconstruct(
         self, params: Params, rvq: rvq_ops.RVQState, wav: jax.Array,

@@ -175,6 +175,37 @@ def forward(
     return RVQForward(zq_ste, indices, commit, counts, sums, usage)
 
 
+def sample_reseed_candidates(
+    key: jax.Array,
+    pool: jax.Array,
+    n_q: int,
+    k: int,
+    *,
+    axis_name: Optional[str] = None,
+) -> jax.Array:
+    """Pick (n_q, K) random vectors from the (global) encoder-output pool for
+    dead-code reseeding.
+
+    Under DP, `pool` is the per-replica shard and `key` MUST be replicated:
+    a global index is drawn and the owning replica's vector is psum-broadcast,
+    so every replica reseeds identically (invariant-by-construction — this is
+    what keeps codebooks bit-identical across the mesh; cheaper than
+    all_gathering the whole pool, and provably replicated under shard_map's
+    varying-axis check, which all_gather is not)."""
+    m = pool.shape[0]
+    if axis_name is None:
+        pick = jax.random.randint(key, (n_q, k), 0, m)
+        return pool[pick]
+    ndev = lax.axis_size(axis_name)
+    gpick = jax.random.randint(key, (n_q, k), 0, m * ndev)  # replicated
+    my = lax.axis_index(axis_name)
+    local_idx = gpick - my * m
+    in_range = (local_idx >= 0) & (local_idx < m)
+    safe = jnp.clip(local_idx, 0, m - 1)
+    cand = pool[safe] * in_range[..., None].astype(pool.dtype)
+    return lax.psum(cand, axis_name)
+
+
 def ema_update(
     state: RVQState,
     counts: jax.Array,
@@ -183,15 +214,15 @@ def ema_update(
     decay: float = 0.99,
     eps: float = 1e-5,
     dead_threshold: float = 2.0,
-    reseed_vectors: Optional[jax.Array] = None,
-    key: Optional[jax.Array] = None,
+    reseed_candidates: Optional[jax.Array] = None,
 ) -> RVQState:
     """Fold one batch's assignment stats into the EMA codebooks.
 
     Standard VQ-VAE EMA with Laplace smoothing; codes whose EMA usage falls
-    below `dead_threshold` are reseeded from `reseed_vectors` (a (M, D) pool
-    of encoder outputs from the current batch) to prevent codebook collapse.
-    Under DP, `counts`/`sums` must already be psum'd (forward(axis_name=...)).
+    below `dead_threshold` are reseeded from `reseed_candidates` — a
+    (n_q, K, D) array of encoder outputs (see sample_reseed_candidates) — to
+    prevent codebook collapse. Under DP, `counts`/`sums` must already be
+    psum'd (forward(axis_name=...)).
     """
     n_q_used = counts.shape[0]
     cb_all = state["codebooks"]
@@ -206,10 +237,8 @@ def ema_update(
     smoothed = (new_count + eps) / (total + k * eps) * total
     new_cb = new_sum / smoothed[..., None]
 
-    if reseed_vectors is not None and key is not None:
-        m = reseed_vectors.shape[0]
-        pick = jax.random.randint(key, (n_q_used, k), 0, m)
-        candidates = reseed_vectors[pick]  # (n_q, K, D)
+    if reseed_candidates is not None:
+        candidates = reseed_candidates  # (n_q, K, D)
         dead = (new_count < dead_threshold)[..., None]
         new_cb = jnp.where(dead, candidates, new_cb)
         # reset EMA stats of reseeded codes so they don't instantly re-die

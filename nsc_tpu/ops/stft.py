@@ -91,15 +91,18 @@ def stft_magnitude(
 
 
 @functools.lru_cache(maxsize=32)
-def _dft_basis(n_fft: int, dtype: str):
-    """Real/imag rfft basis, (n_fft, n_fft//2+1), cached per size."""
+def _dft_basis_np(n_fft: int):
+    """Real/imag rfft basis, (n_fft, n_fft//2+1). Cached as NUMPY — caching
+    jnp arrays would retain jit-trace constants and leak tracers."""
     k = np.arange(n_fft // 2 + 1)
     n = np.arange(n_fft)
     ang = -2.0 * np.pi * np.outer(n, k) / n_fft
-    return (
-        jnp.asarray(np.cos(ang), dtype),
-        jnp.asarray(np.sin(ang), dtype),
-    )
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _dft_basis(n_fft: int, dtype: str):
+    c, s = _dft_basis_np(n_fft)
+    return jnp.asarray(c, dtype), jnp.asarray(s, dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -116,14 +119,13 @@ def _mel_to_hz(m):
 
 
 @functools.lru_cache(maxsize=32)
-def mel_filterbank(
+def _mel_filterbank_np(
     sample_rate: int,
     n_fft: int,
     n_mels: int,
     fmin: float = 0.0,
     fmax: float | None = None,
-) -> jax.Array:
-    """Triangular mel filterbank (HTK scale), (n_fft//2+1, n_mels)."""
+) -> np.ndarray:
     fmax = fmax or sample_rate / 2.0
     mel_pts = np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
     hz_pts = _mel_to_hz(mel_pts)
@@ -134,7 +136,19 @@ def mel_filterbank(
         up = (bins - lo) / max(cen - lo, 1e-9)
         down = (hi - bins) / max(hi - cen, 1e-9)
         fb[:, m] = np.maximum(0.0, np.minimum(up, down))
-    return jnp.asarray(fb)
+    return fb
+
+
+def mel_filterbank(
+    sample_rate: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+) -> jax.Array:
+    """Triangular mel filterbank (HTK scale), (n_fft//2+1, n_mels).
+    numpy is cached; the jnp conversion happens per call (trace-safe)."""
+    return jnp.asarray(_mel_filterbank_np(sample_rate, n_fft, n_mels, fmin, fmax))
 
 
 def mel_spectrogram(
@@ -148,9 +162,10 @@ def mel_spectrogram(
     fmax: float | None = None,
     log: bool = True,
     eps: float = 1e-5,
+    use_matmul_dft: bool = False,
 ) -> jax.Array:
     """(..., T) -> (..., frames, n_mels); log-magnitude mel by default."""
-    mag = stft_magnitude(x, n_fft, hop)
+    mag = stft_magnitude(x, n_fft, hop, use_matmul_dft=use_matmul_dft)
     fb = mel_filterbank(sample_rate, n_fft, n_mels, fmin, fmax)
     mel = jnp.einsum("...tk,km->...tm", mag, fb)
     if log:

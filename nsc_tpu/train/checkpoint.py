@@ -1,0 +1,79 @@
+"""Checkpoint/resume via orbax (SURVEY.md §6 "Failure detection / elastic
+recovery" and "Checkpoint / resume" rows).
+
+The FULL train state is saved — both optimizers, EMA codebook statistics and
+the PRNG key — so training restarts bit-identically from any checkpoint
+(restartability test: tests/integration/test_training.py). Saves are async
+(orbax background thread) so the TPU never idles on host I/O.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _manager(directory: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, enable_async_checkpointing=True
+        ),
+    )
+
+
+def save(directory: str, step: int, state: Any) -> None:
+    mgr = _manager(directory)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_step(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    mgr = _manager(directory)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore(directory: str, target_state: Any) -> Tuple[int, Any]:
+    """Restore the latest checkpoint into the structure of target_state."""
+    mgr = _manager(directory)
+    step = mgr.latest_step()
+    if step is None:
+        mgr.close()
+        raise FileNotFoundError(f"no checkpoint under {directory}")
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target_state)
+    state = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    mgr.close()
+    return step, state
+
+
+def restore_inference(directory: str, params_template, rvq_template):
+    """Load (params_g, rvq) for the public API (nsc_tpu.load_model). Prefers
+    the inference-only export under <dir>/infer (written by the train loop);
+    falls back to treating `directory` itself as an inference checkpoint."""
+    infer_dir = os.path.join(directory, "infer")
+    target = infer_dir if latest_step(infer_dir) is not None else directory
+    _, state = restore(
+        target, {"params_g": params_template, "rvq": rvq_template}
+    )
+    return state["params_g"], state["rvq"]
+
+
+def save_inference(directory: str, step: int, params_g, rvq) -> None:
+    """Export an inference-only checkpoint (params + codebooks)."""
+    save(
+        directory,
+        step,
+        {
+            "params_g": jax.tree.map(np.asarray, params_g),
+            "rvq": jax.tree.map(np.asarray, rvq),
+        },
+    )

@@ -1,0 +1,95 @@
+"""Input pipeline (SURVEY.md §3 #16): random-crop waveform batches.
+
+Two sources:
+  * `WavDirectorySource` — a directory of WAV files (LibriSpeech layout or
+    flat; BASELINE.json:9 names LibriSpeech — no dataset ships in this
+    environment, so any local corpus dir works the same way).
+  * `SyntheticSource` — deterministic harmonic/noise mixtures for smoke
+    tests and benchmarks (no data dependency).
+
+Host-side numpy only; batches go to device via nsc_tpu.parallel.shard_batch.
+Files are decoded once into a pooled float32 cache (speech corpora fit in
+host RAM at 16 kHz; LibriSpeech-100 ~ 6 GB as float32 — use max_files to cap).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from nsc_tpu.utils import audio
+
+
+class SyntheticSource:
+    """Deterministic speech-like signal generator (harmonics + noise bursts)."""
+
+    def __init__(self, sample_rate: int = 16_000, seed: int = 0):
+        self.sample_rate = sample_rate
+        self._rng = np.random.RandomState(seed)
+
+    def batches(self, batch_size: int, segment_len: int) -> Iterator[np.ndarray]:
+        sr = self.sample_rate
+        while True:
+            t = np.arange(segment_len, dtype=np.float32) / sr
+            out = np.zeros((batch_size, segment_len), np.float32)
+            for i in range(batch_size):
+                f0 = self._rng.uniform(80, 300)
+                sig = np.zeros_like(t)
+                for h in range(1, 6):
+                    sig += self._rng.uniform(0.05, 0.3) / h * np.sin(
+                        2 * np.pi * f0 * h * t + self._rng.uniform(0, 2 * np.pi)
+                    )
+                # amplitude envelope (syllable-ish, 4 Hz)
+                env = 0.5 * (1 + np.sin(2 * np.pi * self._rng.uniform(2, 6) * t))
+                sig = sig * env + 0.01 * self._rng.randn(segment_len)
+                out[i] = np.clip(sig, -1, 1)
+            yield out
+
+
+class WavDirectorySource:
+    """Recursively loads WAVs under `root`, serves random crops."""
+
+    def __init__(
+        self,
+        root: str,
+        sample_rate: int = 16_000,
+        seed: int = 0,
+        max_files: Optional[int] = None,
+    ):
+        self.sample_rate = sample_rate
+        self._rng = np.random.RandomState(seed)
+        paths: List[str] = []
+        for dirpath, _, files in os.walk(root):
+            for f in sorted(files):
+                if f.lower().endswith(".wav"):
+                    paths.append(os.path.join(dirpath, f))
+        if not paths:
+            raise FileNotFoundError(f"no .wav files under {root}")
+        if max_files:
+            paths = paths[:max_files]
+        self._clips = []
+        for p in paths:
+            wav, _ = audio.load_wav(p, target_sr=sample_rate)
+            self._clips.append(audio.to_mono(wav).astype(np.float32))
+
+    def batches(self, batch_size: int, segment_len: int) -> Iterator[np.ndarray]:
+        n = len(self._clips)
+        while True:
+            out = np.zeros((batch_size, segment_len), np.float32)
+            for i in range(batch_size):
+                clip = self._clips[self._rng.randint(n)]
+                if len(clip) <= segment_len:
+                    out[i, : len(clip)] = clip
+                else:
+                    start = self._rng.randint(len(clip) - segment_len)
+                    out[i] = clip[start : start + segment_len]
+            yield out
+
+
+def make_source(spec: str, sample_rate: int, seed: int = 0):
+    """'synthetic' or a directory path."""
+    if spec == "synthetic":
+        return SyntheticSource(sample_rate, seed)
+    return WavDirectorySource(spec, sample_rate, seed)

@@ -1,0 +1,151 @@
+"""Training loop runner (SURVEY.md §3 #15; §6 observability rows).
+
+Wires together: data source -> sharded batches -> parallel train step ->
+metrics (JSONL + optional tensorboard) -> orbax checkpoints with auto-resume.
+
+Usage:  python -m nsc_tpu.train --config small --data synthetic --steps 100
+Multi-host: call jax.distributed.initialize() before run() (the mesh code is
+identical; DCN handled by the same 'data' axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from nsc_tpu.configs import CodecConfig, TrainConfig, get_config
+from nsc_tpu.parallel import make_mesh, make_parallel_train_step, replicate, shard_batch
+from nsc_tpu.train import checkpoint as ckpt
+from nsc_tpu.train import data as data_lib
+from nsc_tpu.train.train import init_train_state
+
+
+class MetricsLogger:
+    """JSONL metrics (structured, driver-friendly) + optional tensorboard."""
+
+    def __init__(self, workdir: str, use_tensorboard: bool = True):
+        os.makedirs(workdir, exist_ok=True)
+        self._jsonl = open(os.path.join(workdir, "metrics.jsonl"), "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(workdir, "tb"))
+            except Exception:
+                self._tb = None
+
+    def log(self, step: int, metrics: dict) -> None:
+        row = {"step": step}
+        row.update({k: float(v) for k, v in metrics.items()})
+        self._jsonl.write(json.dumps(row) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(k, float(v), step)
+
+    def close(self):
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def run(
+    cfg: CodecConfig,
+    tcfg: TrainConfig,
+    *,
+    workdir: str,
+    data_spec: str = "synthetic",
+    steps: Optional[int] = None,
+    resume: bool = True,
+) -> dict:
+    """Train; returns the last metrics dict. Restartable: picks up from the
+    latest checkpoint in workdir (fault-recovery contract, SURVEY.md §6)."""
+    steps = steps if steps is not None else tcfg.steps
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if tcfg.batch_size % n_dev:
+        raise ValueError(f"batch {tcfg.batch_size} not divisible by {n_dev} devices")
+
+    model, state = init_train_state(jax.random.PRNGKey(tcfg.seed), cfg, tcfg)
+    start_step = 0
+    train_dir = os.path.join(workdir, "train")
+    if resume and ckpt.latest_step(train_dir) is not None:
+        start_step, state = ckpt.restore(train_dir, state)
+        print(f"resumed from step {start_step}")
+
+    state = replicate(mesh, state)
+    step_fn = make_parallel_train_step(model, tcfg, mesh)
+
+    seg_len = int(tcfg.segment_seconds * cfg.sample_rate)
+    seg_len = (seg_len // cfg.hop) * cfg.hop
+    source = data_lib.make_source(data_spec, cfg.sample_rate, tcfg.seed)
+    batches = source.batches(tcfg.batch_size, seg_len)
+
+    logger = MetricsLogger(workdir)
+    metrics = {}
+    t0 = time.time()
+    for step in range(start_step, steps):
+        batch = shard_batch(mesh, next(batches))
+        state, metrics = step_fn(state, batch)
+        if (step + 1) % tcfg.log_every == 0 or step + 1 == steps:
+            m = {k: float(v) for k, v in metrics.items()}
+            rate = tcfg.log_every / max(time.time() - t0, 1e-9)
+            m["steps_per_sec"] = rate
+            t0 = time.time()
+            logger.log(step + 1, m)
+            print(
+                f"step {step+1}: g={m.get('loss/g_total', 0):.4f} "
+                f"d={m.get('loss/d_total', 0):.4f} "
+                f"mel={m.get('loss/mel', 0):.4f} ({rate:.2f} it/s)"
+            )
+        if (step + 1) % tcfg.checkpoint_every == 0 or step + 1 == steps:
+            host_state = jax.tree.map(np.asarray, state)
+            ckpt.save(train_dir, step + 1, host_state)
+            ckpt.save_inference(
+                os.path.join(workdir, "infer"), step + 1,
+                host_state["params_g"], host_state["rvq"],
+            )
+    logger.close()
+    return {k: float(v) for k, v in metrics.items()}
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(prog="nsc_tpu.train")
+    p.add_argument("--config", default="base")
+    p.add_argument("--workdir", default="./runs/nsc")
+    p.add_argument("--data", default="synthetic", help="'synthetic' or a wav dir")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--segment-seconds", type=float, default=None)
+    p.add_argument("--no-gan", action="store_true")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg = get_config(args.config)
+    overrides = {"seed": args.seed}
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.segment_seconds:
+        overrides["segment_seconds"] = args.segment_seconds
+    if args.no_gan:
+        overrides["use_gan"] = False
+    tcfg = dataclasses.replace(TrainConfig(), **overrides)
+    run(cfg, tcfg, workdir=args.workdir, data_spec=args.data,
+        steps=args.steps, resume=not args.no_resume)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

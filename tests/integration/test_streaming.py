@@ -1,0 +1,105 @@
+"""Streaming == batch equality (BASELINE.json:8; SURVEY.md §5 integration
+tests: "streaming-vs-batch encode equality (same indices for same audio — the
+key streaming correctness property)")."""
+
+import jax
+import numpy as np
+import pytest
+
+import nsc_tpu
+from nsc_tpu import streaming
+from nsc_tpu.models import seanet
+from nsc_tpu.ops import rvq as rvq_ops
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return nsc_tpu.load_model("tiny_test")
+
+
+@pytest.fixture(scope="module")
+def wav(bundle):
+    rng = np.random.RandomState(0)
+    t = 64 * bundle.cfg.hop
+    return (rng.randn(t) * 0.2).astype(np.float32)
+
+
+def test_streaming_encoder_latents_match_batch(bundle, wav):
+    cfg = bundle.cfg
+    x = jnp.asarray(wav)[None, :, None]
+    z_batch = seanet.apply_encoder(bundle.params["encoder"], x, cfg)
+
+    state = streaming.encoder_init_state(bundle.params["encoder"], cfg, 1)
+    chunks = np.split(wav, 4)
+    zs = []
+    for c in chunks:
+        z, state = streaming.encoder_stream(
+            bundle.params["encoder"], state, jnp.asarray(c)[None, :, None], cfg
+        )
+        zs.append(np.asarray(z))
+    z_stream = np.concatenate(zs, axis=1)
+    np.testing.assert_allclose(z_stream, np.asarray(z_batch), rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_indices_identical_to_batch(bundle, wav):
+    batch_idx = nsc_tpu.encode(bundle, wav)
+    enc = streaming.StreamingEncoder(bundle.model, bundle.params, bundle.rvq)
+    got = []
+    for c in np.split(wav, 8):
+        got.append(enc.push(c))
+    stream_idx = np.concatenate(got, axis=0)
+    np.testing.assert_array_equal(stream_idx, batch_idx)
+
+
+def test_streaming_uneven_chunks(bundle, wav):
+    """Chunks of different (hop-multiple) sizes still match batch."""
+    cfg = bundle.cfg
+    batch_idx = nsc_tpu.encode(bundle, wav)
+    enc = streaming.StreamingEncoder(bundle.model, bundle.params, bundle.rvq)
+    splits = [4 * cfg.hop, 20 * cfg.hop, 40 * cfg.hop]
+    got, start = [], 0
+    for end in splits + [len(wav)]:
+        got.append(enc.push(wav[start:end]))
+        start = end
+    stream_idx = np.concatenate(got, axis=0)
+    np.testing.assert_array_equal(stream_idx, batch_idx)
+
+
+def test_streaming_rejects_non_hop_chunk(bundle):
+    enc = streaming.StreamingEncoder(bundle.model, bundle.params, bundle.rvq)
+    with pytest.raises(ValueError, match="multiple of hop"):
+        enc.push(np.zeros(bundle.cfg.hop + 1, np.float32))
+
+
+def test_streaming_decoder_matches_batch(bundle, wav):
+    idx = nsc_tpu.encode(bundle, wav)
+    batch_wav = nsc_tpu.decode(bundle, idx)
+    dec = streaming.StreamingDecoder(bundle.model, bundle.params, bundle.rvq)
+    outs = [dec.push(part) for part in np.split(idx, 4, axis=0)]
+    stream_wav = np.concatenate(outs, axis=0)
+    np.testing.assert_allclose(stream_wav, batch_wav, rtol=1e-4, atol=1e-5)
+
+
+def test_full_streaming_pipeline(bundle, wav):
+    """encode chunks -> decode chunks == batch reconstruct."""
+    ref = nsc_tpu.decode(bundle, nsc_tpu.encode(bundle, wav))
+    enc = streaming.StreamingEncoder(bundle.model, bundle.params, bundle.rvq)
+    dec = streaming.StreamingDecoder(bundle.model, bundle.params, bundle.rvq)
+    out = []
+    for c in np.split(wav, 8):
+        out.append(dec.push(enc.push(c)))
+    got = np.concatenate(out, axis=0)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_batched(bundle):
+    rng = np.random.RandomState(1)
+    wavs = (rng.randn(3, 32 * bundle.cfg.hop) * 0.2).astype(np.float32)
+    batch_idx = nsc_tpu.encode(bundle, wavs)
+    enc = streaming.StreamingEncoder(bundle.model, bundle.params, bundle.rvq)
+    got = np.concatenate(
+        [enc.push(c) for c in np.split(wavs, 2, axis=1)], axis=1
+    )
+    np.testing.assert_array_equal(got, batch_idx)

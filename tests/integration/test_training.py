@@ -1,0 +1,175 @@
+"""Training-mode integration tests (BASELINE.json:9-10 configs #3-#4, scaled
+to CPU-feasible sizes): loss decreases, GAN losses finite, DP == single
+device, checkpoint restart."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nsc_tpu.configs import TrainConfig, get_config
+from nsc_tpu.train.train import init_train_state, make_train_step
+from nsc_tpu.train import data as data_lib
+
+
+def _tiny_tcfg(**kw):
+    base = dict(
+        batch_size=4,
+        segment_seconds=0.064,  # 1024 samples
+        lr_g=1e-3, lr_d=1e-3,
+        disc_width_mult=1 / 16,
+        quantizer_dropout=0.5,
+        stft_fft_sizes=(256, 128),
+        mel_fft_size=256, mel_bins=20,
+        log_every=1000, checkpoint_every=10**9,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def _batch(tcfg, cfg, seed=0):
+    src = data_lib.SyntheticSource(cfg.sample_rate, seed)
+    seg = int(tcfg.segment_seconds * cfg.sample_rate)
+    seg = (seg // cfg.hop) * cfg.hop
+    return next(src.batches(tcfg.batch_size, seg))
+
+
+def test_codec_only_loss_decreases():
+    cfg = get_config("tiny_test")
+    tcfg = _tiny_tcfg(use_gan=False)
+    model, state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step = jax.jit(make_train_step(model, tcfg))
+    batch = jnp.asarray(_batch(tcfg, cfg))
+    first = None
+    for i in range(20):
+        state, metrics = step(state, batch)
+        if first is None:
+            first = float(metrics["loss/g_total"])
+    last = float(metrics["loss/g_total"])
+    assert np.isfinite(last)
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+def test_gan_mode_losses_finite_and_d_learns():
+    cfg = get_config("tiny_test")
+    tcfg = _tiny_tcfg(use_gan=True)
+    model, state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step = jax.jit(make_train_step(model, tcfg))
+    batch = jnp.asarray(_batch(tcfg, cfg))
+    d_first = None
+    for i in range(10):
+        state, metrics = step(state, batch)
+        if d_first is None:
+            d_first = float(metrics["loss/d_total"])
+    assert np.isfinite(float(metrics["loss/g_total"]))
+    assert np.isfinite(float(metrics["loss/d_total"]))
+    # D should improve on a fixed batch
+    assert float(metrics["loss/d_total"]) < d_first
+
+
+def test_ema_codebooks_move_during_training():
+    cfg = get_config("tiny_test")
+    tcfg = _tiny_tcfg(use_gan=False)
+    model, state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step = jax.jit(make_train_step(model, tcfg))
+    cb0 = np.asarray(state["rvq"]["codebooks"]).copy()
+    batch = jnp.asarray(_batch(tcfg, cfg))
+    for _ in range(5):
+        state, _ = step(state, batch)
+    cb1 = np.asarray(state["rvq"]["codebooks"])
+    assert not np.allclose(cb0, cb1)
+
+
+def test_dp_step_equals_single_device():
+    """Config #4's distributed logic without a slice (SURVEY.md §5): the
+    shard_map DP step over 8 fake CPU devices must match the single-device
+    step on the same global batch."""
+    from nsc_tpu.parallel import make_mesh, make_parallel_train_step, replicate, shard_batch
+
+    cfg = get_config("tiny_test")
+    tcfg = _tiny_tcfg(use_gan=False, batch_size=8, quantizer_dropout=0.0)
+    model, state_s = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    batch = _batch(tcfg, cfg)
+
+    # single-device reference
+    single_step = jax.jit(make_train_step(model, tcfg))
+    ref_state, ref_metrics = single_step(state_s, jnp.asarray(batch))
+
+    # DP over all fake devices
+    model2, state_p = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    mesh = make_mesh()
+    state_p = replicate(mesh, state_p)
+    pstep = make_parallel_train_step(model2, tcfg, mesh)
+    new_state, metrics = pstep(state_p, shard_batch(mesh, batch))
+
+    # losses AND the aggregated gradient norm must match: this is what proves
+    # psum/pmean aggregation is numerically the global-batch computation.
+    for k in ref_metrics:
+        np.testing.assert_allclose(
+            float(metrics[k]), float(ref_metrics[k]), rtol=2e-3, atol=2e-4,
+            err_msg=f"metric {k} diverged between DP and single-device",
+        )
+    # Post-Adam params: Adam turns noise-level gradient sign flips into
+    # +-lr updates, so the bound is a few lr, not float epsilon.
+    ref_leaves = jax.tree.leaves(ref_state["params_g"])
+    par_leaves = jax.tree.leaves(new_state["params_g"])
+    for a, b in zip(ref_leaves, par_leaves):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0.2, atol=4 * tcfg.lr_g
+        )
+    # EMA codebooks come from psum'd stats with no optimizer: tight match.
+    np.testing.assert_allclose(
+        np.asarray(ref_state["rvq"]["codebooks"]),
+        np.asarray(new_state["rvq"]["codebooks"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_checkpoint_restart_bitexact(tmp_path):
+    """Fault-recovery contract: save at step k, restart, and the restored
+    state must continue identically (SURVEY.md §6 failure-detection row)."""
+    from nsc_tpu.train import checkpoint as ckpt
+
+    cfg = get_config("tiny_test")
+    tcfg = _tiny_tcfg(use_gan=False, quantizer_dropout=0.5)
+    model, state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    step = jax.jit(make_train_step(model, tcfg))
+    batch = jnp.asarray(_batch(tcfg, cfg))
+    for _ in range(3):
+        state, _ = step(state, batch)
+    ckpt.save(str(tmp_path / "ck"), 3, jax.tree.map(np.asarray, state))
+
+    # continue original
+    cont, m_direct = step(state, batch)
+
+    # restore and continue
+    _, fresh_state = init_train_state(jax.random.PRNGKey(0), cfg, tcfg)
+    _, restored = ckpt.restore(str(tmp_path / "ck"), fresh_state)
+    rest2, m_restored = step(restored, batch)
+    np.testing.assert_allclose(
+        float(m_direct["loss/g_total"]), float(m_restored["loss/g_total"]),
+        rtol=1e-6,
+    )
+
+
+def test_synthetic_source_deterministic_shapes():
+    src = data_lib.SyntheticSource(16000, 0)
+    b = next(src.batches(3, 800))
+    assert b.shape == (3, 800) and b.dtype == np.float32
+    assert np.abs(b).max() <= 1.0
+
+
+def test_wav_directory_source(tmp_path):
+    from nsc_tpu.utils import audio
+
+    for i in range(3):
+        audio.save_wav(
+            str(tmp_path / f"{i}.wav"),
+            np.random.RandomState(i).randn(5000).astype(np.float32) * 0.1,
+            16000,
+        )
+    src = data_lib.WavDirectorySource(str(tmp_path), 16000)
+    b = next(src.batches(2, 1000))
+    assert b.shape == (2, 1000)

@@ -97,9 +97,11 @@ def test_dead_code_reseed():
     data = jax.random.normal(jax.random.PRNGKey(6), (1, 100, cfg.latent_dim)) + 10.0
     fwd = rvq.forward(st, data)
     pool = data.reshape(-1, cfg.latent_dim)
+    cand = rvq.sample_reseed_candidates(
+        jax.random.PRNGKey(7), pool, cfg.num_quantizers, cfg.codebook_size
+    )
     st2 = rvq.ema_update(
-        st, fwd.counts, fwd.sums, decay=0.5,
-        reseed_vectors=pool, key=jax.random.PRNGKey(7),
+        st, fwd.counts, fwd.sums, decay=0.5, reseed_candidates=cand
     )
     # most codes were dead (data is a far-away cluster) -> reseeded near 10
     cb = np.asarray(st2["codebooks"][0])
