@@ -1,0 +1,89 @@
+import numpy as np
+import pytest
+
+import nsc_tpu
+from nsc_tpu.eval import quality, sweep
+
+
+def _tone(f=440.0, sec=1.0, sr=16000, amp=0.5):
+    t = np.arange(int(sec * sr)) / sr
+    return (amp * np.sin(2 * np.pi * f * t)).astype(np.float32)
+
+
+def test_si_snr_identity_and_noise():
+    x = _tone()
+    assert quality.si_snr(x, x) > 60
+    noisy = x + 0.1 * np.random.RandomState(0).randn(len(x)).astype(np.float32)
+    mid = quality.si_snr(x, noisy)
+    worse = quality.si_snr(x, x + 0.5 * np.random.RandomState(1).randn(len(x)).astype(np.float32))
+    assert worse < mid < 60
+    # scale invariance (checked away from the eps-limited perfect case)
+    assert abs(quality.si_snr(x, 0.3 * noisy) - quality.si_snr(x, noisy)) < 1e-4
+
+
+def test_pesq_proxy_orders_degradations():
+    x = _tone()
+    rng = np.random.RandomState(0)
+    mild = x + 0.01 * rng.randn(len(x)).astype(np.float32)
+    severe = x + 0.5 * rng.randn(len(x)).astype(np.float32)
+    p_clean = quality.pesq_proxy(x, x)
+    p_mild = quality.pesq_proxy(x, mild)
+    p_severe = quality.pesq_proxy(x, severe)
+    assert 1.0 <= p_severe < p_mild <= p_clean <= 4.5
+    assert p_clean > 4.0
+
+
+def test_mel_distance_zero_on_identity():
+    x = _tone()
+    assert quality.mel_distance(x, x) < 1e-6
+    assert quality.mel_distance(x, np.zeros_like(x)) > 0.1
+
+
+def test_codebook_match_rate():
+    a = np.zeros((10, 4), np.int32)
+    b = a.copy()
+    b[:5, 0] = 1
+    r = quality.codebook_match_rate(a, b)
+    assert r["overall"] == pytest.approx(1 - 5 / 40)
+    assert r["per_book"][0] == pytest.approx(0.5)
+    assert r["per_book"][1] == 1.0
+    with pytest.raises(ValueError):
+        quality.codebook_match_rate(a, a[:5])
+
+
+def test_bitrate_sweep_structure_and_monotone_latent_convergence():
+    bundle = nsc_tpu.load_model("tiny_test")
+    rng = np.random.RandomState(0)
+    wavs = (rng.randn(2, 64 * bundle.cfg.hop) * 0.2).astype(np.float32)
+    rows = sweep.bitrate_sweep(bundle, wavs)
+    assert [r["n_q"] for r in rows] == [1, 2]
+    assert rows[1]["bitrate_bps"] == 2 * rows[0]["bitrate_bps"]
+    for r in rows:
+        assert np.isfinite(r["si_snr_db"]) and np.isfinite(r["pesq_proxy"])
+    # deeper RVQ -> decode converges toward the full-depth reconstruction
+    full = nsc_tpu.decode(bundle, nsc_tpu.encode(bundle, wavs))
+    d = []
+    for n_q in (1, 2):
+        rec = nsc_tpu.decode(bundle, nsc_tpu.encode(bundle, wavs, n_q=n_q))
+        d.append(float(np.mean((rec - full) ** 2)))
+    assert d[1] <= d[0]
+
+
+def test_sweep_with_reference_match_rate():
+    bundle = nsc_tpu.load_model("tiny_test")
+    rng = np.random.RandomState(1)
+    wavs = (rng.randn(1, 32 * bundle.cfg.hop) * 0.2).astype(np.float32)
+    rows = sweep.bitrate_sweep(bundle, wavs, reference_bundle=bundle)
+    assert all(r["index_match"] == 1.0 for r in rows)
+
+
+def test_eval_cli_json(capsys):
+    rc = sweep.main(
+        ["--model", "tiny_test", "--data", "synthetic", "--seconds", "0.5",
+         "--batch", "1", "--json"]
+    )
+    assert rc == 0
+    import json
+
+    rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rows) == 2 and rows[0]["n_q"] == 1
