@@ -25,8 +25,17 @@ import numpy as np
 def main() -> None:
     from nsc_tpu.configs import get_config
     from nsc_tpu.models.codec import init_codec
+    from nsc_tpu.utils.cache import enable_compilation_cache
 
-    cfg = dataclasses.replace(get_config("base"), compute_dtype="bfloat16")
+    enable_compilation_cache()
+    # Backends picked by measurement (see git history): native XLA convs beat
+    # the matmul reformulations end-to-end at batch 64 (stacked pays HBM
+    # transposes); fused Pallas RVQ is used for the quantizer.
+    cfg = dataclasses.replace(
+        get_config("base"),
+        compute_dtype="bfloat16",
+        rvq_backend="pallas",
+    )
     model, params, rvq = init_codec(jax.random.PRNGKey(0), cfg)
 
     batch, seconds = 64, 10.0

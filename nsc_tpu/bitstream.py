@@ -124,10 +124,20 @@ def unpack_plane(payload: bytes, num_frames: int, bits: int) -> np.ndarray:
 
 
 def pack_frames(indices: np.ndarray, bits: int) -> bytes:
-    """(F, n_q) -> book-major byte-aligned planes."""
+    """(F, n_q) -> book-major byte-aligned planes. Uses the native C packer
+    (nsc_tpu/native.py) when available; numpy otherwise — byte-identical."""
     idx = np.asarray(indices)
     if idx.ndim != 2:
         raise BitstreamError("expected (frames, n_q)")
+    if bits < 1 or bits > 32:
+        raise BitstreamError(f"bits out of range: {bits}")
+    if idx.size and (int(idx.min()) < 0 or int(idx.max()) >= (1 << bits)):
+        raise BitstreamError("index exceeds bit width")
+    from nsc_tpu import native
+
+    packed = native.pack_frames(idx, bits)
+    if packed is not None:
+        return packed
     return b"".join(pack_plane(idx[:, q], bits) for q in range(idx.shape[1]))
 
 
@@ -137,6 +147,13 @@ def unpack_frames(
     """Inverse of pack_frames -> (F, n_q) int32. Accepts a payload holding at
     least n_q planes (extra trailing planes/bytes ignored — truncation rule)."""
     per = plane_nbytes(num_frames, bits)
+    if len(payload) < n_q * per:
+        raise BitstreamError("truncated plane")
+    from nsc_tpu import native
+
+    idx = native.unpack_frames(payload, num_frames, n_q, bits)
+    if idx is not None:
+        return idx
     planes = []
     for q in range(n_q):
         planes.append(unpack_plane(payload[q * per : (q + 1) * per], num_frames, bits))

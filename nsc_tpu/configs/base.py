@@ -54,6 +54,18 @@ class CodecConfig:
     # --- numerics ---
     compute_dtype: str = "float32"  # "bfloat16" on TPU inference path
     param_dtype: str = "float32"
+    # conv lowering: "reference" = lax.conv (the parity lowering);
+    # "stacked" = MXU-shaped matmul reformulation (ops/fastconv.py) —
+    # numerically exact, ~10x faster on TPU for this model's channel widths
+    conv_backend: str = "reference"
+    # output-stack size for the stacked backend (N-dim = stack * Cout)
+    conv_stack: int = 16
+    # RVQ lowering: "xla" scan (parity reference) | "pallas" fused
+    # VMEM-resident kernel (index-bit-exact; auto-fallback off-TPU)
+    rvq_backend: str = "xla"
+    # residual-unit stack: "reference" per-op | "pallas_fused" whole-stage
+    # VMEM kernel (float-tolerance equal; inference path; snake only)
+    unit_backend: str = "reference"
 
     @property
     def hop(self) -> int:

@@ -39,14 +39,16 @@ class NeuralSpeechCodec:
         """(N, T) or (N, T, 1) waveform -> (N, F, n_q) int32 indices."""
         x = self._shape_wav(wav)
         z = seanet.apply_encoder(params["encoder"], x, self.cfg)
-        return rvq_ops.quantize(rvq, z, n_q=n_q)
+        return rvq_ops.quantize(rvq, z, n_q=n_q, backend=self.cfg.rvq_backend)
 
     def decode(
         self, params: Params, rvq: rvq_ops.RVQState, indices: jax.Array,
         n_q: Optional[int] = None,
     ) -> jax.Array:
         """(N, F, n_q) indices -> (N, F*hop) waveform."""
-        z = rvq_ops.dequantize(rvq, indices, n_q=n_q)
+        z = rvq_ops.dequantize(
+            rvq, indices, n_q=n_q, backend=self.cfg.rvq_backend
+        )
         z = z.astype(self.compute_dtype)
         wav = seanet.apply_decoder(params["decoder"], z, self.cfg)
         return wav[..., 0].astype(jnp.float32)

@@ -29,8 +29,51 @@ import jax.numpy as jnp
 
 from nsc_tpu.configs import CodecConfig
 from nsc_tpu.ops import conv as C
+from nsc_tpu.ops import fastconv as FC
 
 Params = Dict[str, Any]
+
+
+def _conv(
+    cfg: CodecConfig, x: jax.Array, p: Params, *,
+    stride: int = 1, dilation: int = 1, padding: str = "causal",
+) -> jax.Array:
+    """Backend dispatch: reference lax.conv vs MXU-stacked matmul (exact)."""
+    if cfg.conv_backend == "stacked" and padding == "causal":
+        return FC.stacked_conv1d(
+            x, p, stride=stride, dilation=dilation, stack=cfg.conv_stack
+        )
+    return C.conv1d(x, p, stride=stride, dilation=dilation, padding=padding)
+
+
+def _conv_transpose(
+    cfg: CodecConfig, x: jax.Array, p: Params, *, stride: int
+) -> jax.Array:
+    if cfg.conv_backend == "stacked" and cfg.causal:
+        return FC.polyphase_conv_transpose1d(x, p, stride=stride)
+    return C.conv_transpose1d(x, p, stride=stride, causal=cfg.causal)
+
+
+def _unit_stack(
+    cfg: CodecConfig, h: jax.Array, units, padding: str
+) -> jax.Array:
+    """All residual units of one stage; whole-stage Pallas kernel when
+    enabled (memory-bound ops fused into one VMEM pass)."""
+    if (
+        cfg.unit_backend == "pallas_fused"
+        and cfg.activation == "snake"
+        and padding == "causal"
+        and jax.default_backend() == "tpu"
+    ):
+        from nsc_tpu.ops.pallas import residual_stack as RS
+
+        packed = RS.pack_stage_params(units, cfg)
+        return RS.residual_stack_pallas(
+            h, *packed, dilations=tuple(cfg.dilations)
+        )
+    for unit, dil in zip(units, cfg.dilations):
+        h = _apply_residual_unit(unit, h, dil, cfg, padding)
+    return h
 
 
 def _stage_widths(cfg: CodecConfig) -> List[int]:
@@ -64,9 +107,9 @@ def _apply_residual_unit(
     p: Params, x: jax.Array, dilation: int, cfg: CodecConfig, padding: str
 ) -> jax.Array:
     h = C.activation(cfg.activation, x, p["act1"])
-    h = C.conv1d(h, p["conv1"], dilation=dilation, padding=padding)
+    h = _conv(cfg, h, p["conv1"], dilation=dilation, padding=padding)
     h = C.activation(cfg.activation, h, p["act2"])
-    h = C.conv1d(h, p["conv2"], padding=padding)
+    h = _conv(cfg, h, p["conv2"], padding=padding)
     return x + h
 
 
@@ -117,14 +160,13 @@ def init_encoder(key: jax.Array, cfg: CodecConfig) -> Params:
 def apply_encoder(p: Params, x: jax.Array, cfg: CodecConfig) -> jax.Array:
     """(N, T, 1) waveform -> (N, T/hop, latent_dim) latents."""
     pad = "causal" if cfg.causal else "same"
-    h = C.conv1d(x, p["stem"], padding=pad)
+    h = _conv(cfg, x, p["stem"], padding=pad)
     for stage, stride in zip(p["stages"], cfg.strides):
-        for unit, dil in zip(stage["units"], cfg.dilations):
-            h = _apply_residual_unit(unit, h, dil, cfg, pad)
+        h = _unit_stack(cfg, h, stage["units"], pad)
         h = C.activation(cfg.activation, h, stage["down_act"])
-        h = C.conv1d(h, stage["down"], stride=stride, padding=pad)
+        h = _conv(cfg, h, stage["down"], stride=stride, padding=pad)
     h = C.activation(cfg.activation, h, p["final_act"])
-    return C.conv1d(h, p["final"], padding=pad)
+    return _conv(cfg, h, p["final"], padding=pad)
 
 
 # ---------------------------------------------------------------------------
@@ -168,12 +210,11 @@ def init_decoder(key: jax.Array, cfg: CodecConfig) -> Params:
 def apply_decoder(p: Params, z: jax.Array, cfg: CodecConfig) -> jax.Array:
     """(N, F, latent_dim) latents -> (N, F*hop, 1) waveform in (-1, 1)."""
     pad = "causal" if cfg.causal else "same"
-    h = C.conv1d(z, p["stem"], padding=pad)
+    h = _conv(cfg, z, p["stem"], padding=pad)
     for stage, stride in zip(p["stages"], reversed(cfg.strides)):
         h = C.activation(cfg.activation, h, stage["up_act"])
-        h = C.conv_transpose1d(h, stage["up"], stride=stride, causal=cfg.causal)
-        for unit, dil in zip(stage["units"], cfg.dilations):
-            h = _apply_residual_unit(unit, h, dil, cfg, pad)
+        h = _conv_transpose(cfg, h, stage["up"], stride=stride)
+        h = _unit_stack(cfg, h, stage["units"], pad)
     h = C.activation(cfg.activation, h, p["final_act"])
-    h = C.conv1d(h, p["final"], padding=pad)
+    h = _conv(cfg, h, p["final"], padding=pad)
     return jnp.tanh(h)

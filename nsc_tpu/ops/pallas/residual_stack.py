@@ -1,0 +1,180 @@
+"""Pallas TPU kernel: fused residual-unit stack (BASELINE.json:5
+"causal/dilated conv blocks ... fused as Pallas kernels"; SURVEY.md §3 #3).
+
+A SEANet stage applies 3 residual units (snake -> dilated k3 conv -> snake ->
+1x1 conv -> residual add) back-to-back. The XLA lowering round-trips the full
+(B, T, C) activation through HBM ~8x per stage; profiling shows those convs
+are MEMORY-bound (~5 ms each at stage-1/2 sizes regardless of C). This kernel
+runs the WHOLE stage per time-tile in VMEM:
+
+  DMA x[tile - halo : tile_end] -> VMEM once
+  for each unit (static unroll):
+      snake -> 3 shifted (T', C)x(C, C) MXU matmuls (dilated k3) -> snake
+            -> 1x1 matmul -> aligned residual add   (all VMEM)
+  write y[tile] once
+
+halo = sum(2 * d) over unit dilations; the host wrapper left-pads by a
+128-row-aligned halo allocation (zeros == causal padding), so tile 0 is
+exact. Mosaic requires DMA slices aligned to the (8, 128) tile, so the
+wrapper passes a lane-packed (B, T'*C/128, 128) view of the signal and the
+kernel reshapes to (rows, C) in VMEM — this supports any power-of-two C.
+
+Numerics: same ops in the same dtype as the reference path; equality is
+float-tolerance (bf16 reordering), tested in tests/unit/test_pallas_stack.py.
+Inference path only — training uses the reference lowering (clean VJPs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_T = 2048
+
+
+def _snake(x, alpha, eps=1e-9):
+    s = jnp.sin(alpha * x)
+    return x + s * s / (alpha + eps)
+
+
+def _stack_kernel(
+    xp_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref, out_ref,
+    seg, sem, *, dilations, halo_alloc, tile_t, c,
+):
+    # The signal arrives channel-padded to >=128 lanes: Mosaic requires
+    # manual-DMA slices aligned to the (8, 128) tile. The compute below runs
+    # on the first `c` lanes only.
+    ib = pl.program_id(0)
+    jt = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        xp_hbm.at[ib, pl.ds(jt * tile_t, tile_t + halo_alloc)], seg, sem
+    )
+    dma.start()
+    dma.wait()
+
+    full = seg[:]
+    buf = full[:, 0:c] if full.shape[1] != c else full
+    off = 0
+    for u, d in enumerate(dilations):
+        length = tile_t + halo_alloc - off
+        alpha1 = a1_ref[pl.ds(u, 1), :]  # (1, C) — keep 2D for Mosaic
+        alpha2 = a2_ref[pl.ds(u, 1), :]
+        bias1 = b1_ref[pl.ds(u, 1), :]
+        bias2 = b2_ref[pl.ds(u, 1), :]
+        a1v = _snake(buf, alpha1)
+        y = jax.lax.dot_general(
+            a1v[0 : length - 2 * d], w1_ref[u, 0],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        y += jax.lax.dot_general(
+            a1v[d : length - d], w1_ref[u, 1],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        y += jax.lax.dot_general(
+            a1v[2 * d : length], w1_ref[u, 2],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        y = (y + bias1.astype(jnp.float32)).astype(buf.dtype)
+        a2v = _snake(y, alpha2)
+        z = jax.lax.dot_general(
+            a2v, w2_ref[u],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        z = (z + bias2.astype(jnp.float32)).astype(buf.dtype)
+        buf = buf[2 * d : length] + z
+        off += 2 * d
+        # Reference semantics: every conv zero-pads its own (activated)
+        # input. On tile 0 the remaining halo rows correspond to t < 0 and
+        # must stay zero, or the next unit's taps see the zero-input
+        # response (bias ripple) the reference never produces.
+        rem = halo_alloc - off
+        if rem > 0:
+            row = jax.lax.broadcasted_iota(jnp.int32, buf.shape, 0)
+            keep = (row >= rem) | (jt > 0)
+            buf = jnp.where(keep, buf, 0)
+
+    surplus = halo_alloc - off
+    res = buf[surplus:] if surplus else buf  # (tile_t, C)
+    out_ref[0] = res
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dilations", "interpret", "tile_t")
+)
+def residual_stack_pallas(
+    x: jax.Array,
+    w1: jax.Array,  # (U, 3, C, C) materialized conv weights
+    b1: jax.Array,  # (U, C)
+    a1: jax.Array,  # (U, C) snake alphas
+    w2: jax.Array,  # (U, C, C) 1x1 weights
+    b2: jax.Array,  # (U, C)
+    a2: jax.Array,  # (U, C)
+    *,
+    dilations: tuple,
+    interpret: bool = False,
+    tile_t: int | None = None,
+) -> jax.Array:
+    """x (B, T, C) -> (B, T, C): the full residual-unit stack of one stage."""
+    b, t, c = x.shape
+    halo = sum(2 * d for d in dilations)
+    halo_alloc = ((halo + 7) // 8) * 8  # sublane alignment for the DMA rows
+    if tile_t is None:
+        # keep the unrolled unit-loop's live values within VMEM: the stack
+        # holds ~6 (tile, C) f32 buffers, so budget tile*C ~= 128k elements
+        tile_t = max(128, min(TILE_T, (1 << 17) // c))
+    assert tile_t % 8 == 0, tile_t
+    pad_t = (-t) % tile_t
+    c_pad = max(c, 128)  # lane alignment for the DMA minor dim
+    xp = jnp.pad(x, ((0, 0), (halo_alloc, pad_t), (0, c_pad - c)))
+    t_tot = t + pad_t
+    n_tiles = t_tot // tile_t
+
+    out = pl.pallas_call(
+        functools.partial(
+            _stack_kernel, dilations=dilations, halo_alloc=halo_alloc,
+            tile_t=tile_t, c=c,
+        ),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # packed signal; manual DMA
+            pl.BlockSpec(w1.shape, lambda ib, jt: (0,) * 4, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1.shape, lambda ib, jt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(a1.shape, lambda ib, jt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, lambda ib, jt: (0,) * 3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, lambda ib, jt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(a2.shape, lambda ib, jt: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_t, c), lambda ib, jt: (ib, jt, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t_tot, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_t + halo_alloc, c_pad), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, w1, b1, a1, w2, b2, a2)
+    return out[:, :t]
+
+
+def pack_stage_params(units, cfg) -> tuple:
+    """Stack a stage's residual-unit params for the kernel.
+    units: list of unit param dicts (seanet layout). Requires snake
+    activation and weight-norm/plain conv weights."""
+    from nsc_tpu.ops.conv import materialize_weight
+
+    w1 = jnp.stack([
+        jnp.transpose(materialize_weight(u["conv1"]), (0, 1, 2))  # (3, C, C)
+        for u in units
+    ])
+    b1 = jnp.stack([u["conv1"]["b"] for u in units])
+    a1 = jnp.stack([u["act1"]["alpha"] for u in units])
+    w2 = jnp.stack([materialize_weight(u["conv2"])[0] for u in units])  # (C, C)
+    b2 = jnp.stack([u["conv2"]["b"] for u in units])
+    a2 = jnp.stack([u["act2"]["alpha"] for u in units])
+    return w1, b1, a1, w2, b2, a2

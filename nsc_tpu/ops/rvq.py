@@ -77,12 +77,24 @@ class RVQForward(NamedTuple):
 
 
 def quantize(
-    state: RVQState, z: jax.Array, n_q: Optional[int] = None
+    state: RVQState, z: jax.Array, n_q: Optional[int] = None,
+    *, backend: str = "xla",
 ) -> jax.Array:
-    """Encode latents to indices. z: (..., D) -> (..., n_q) int32."""
+    """Encode latents to indices. z: (..., D) -> (..., n_q) int32.
+
+    backend 'pallas' uses the fused VMEM-resident kernel
+    (ops/pallas/rvq_argmin.py) — index-bit-exact with the XLA path; falls
+    back automatically when TPU tiling constraints aren't met."""
     books = state["codebooks"] if n_q is None else state["codebooks"][:n_q]
     lead = z.shape[:-1]
     r = z.reshape(-1, z.shape[-1]).astype(jnp.float32)
+
+    if backend == "pallas" and jax.default_backend() == "tpu":
+        from nsc_tpu.ops.pallas import rvq_argmin as PK
+
+        if PK.pallas_supported(*books.shape):
+            idx = PK.quantize_pallas(books, r)
+            return idx.reshape(*lead, books.shape[0])
 
     def step(residual, cb):
         idx = _nearest(residual, cb)
@@ -93,7 +105,8 @@ def quantize(
 
 
 def dequantize(
-    state: RVQState, indices: jax.Array, n_q: Optional[int] = None
+    state: RVQState, indices: jax.Array, n_q: Optional[int] = None,
+    *, backend: str = "xla",
 ) -> jax.Array:
     """Decode indices to latents. indices: (..., n_q_in) -> (..., D).
 
@@ -101,6 +114,16 @@ def dequantize(
     BASELINE.json:11)."""
     used = indices.shape[-1] if n_q is None else n_q
     books = state["codebooks"][:used]  # (n_q, K, D)
+
+    if backend == "pallas" and jax.default_backend() == "tpu":
+        from nsc_tpu.ops.pallas import rvq_argmin as PK
+
+        if PK.pallas_supported(*books.shape):
+            lead = indices.shape[:-1]
+            idx2d = indices[..., :used].reshape(-1, used)
+            out = PK.dequantize_pallas(books, idx2d)
+            return out.reshape(*lead, books.shape[-1])
+
     idx = jnp.moveaxis(indices[..., :used], -1, 0)  # (n_q, ...)
 
     def step(acc, book_and_idx):

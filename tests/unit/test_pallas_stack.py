@@ -1,0 +1,74 @@
+"""Fused residual-stack kernel vs per-op reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nsc_tpu.configs import get_config
+from nsc_tpu.models import seanet
+from nsc_tpu.ops.pallas import residual_stack as RS
+
+
+def _setup(c=16, dilations=(1, 3, 9), seed=0):
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        get_config("tiny_test"), dilations=dilations, base_width=c
+    )
+    key = jax.random.PRNGKey(seed)
+    units = [
+        seanet._init_residual_unit(k, c, cfg.residual_kernel, cfg)
+        for k in jax.random.split(key, len(dilations))
+    ]
+    return cfg, units
+
+
+@pytest.mark.parametrize("t", [512, 300])
+def test_fused_stack_matches_reference(t):
+    cfg, units = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, t, 16), jnp.float32)
+    ref = x
+    for u, d in zip(units, cfg.dilations):
+        ref = seanet._apply_residual_unit(u, ref, d, cfg, "causal")
+    packed = RS.pack_stage_params(units, cfg)
+    got = RS.residual_stack_pallas(
+        x, *packed, dilations=tuple(cfg.dilations), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_stack_multi_tile_boundaries():
+    """Tile halos must hand unit outputs across tile boundaries exactly."""
+    cfg, units = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 1024, 16), jnp.float32)
+    ref = x
+    for u, d in zip(units, cfg.dilations):
+        ref = seanet._apply_residual_unit(u, ref, d, cfg, "causal")
+    packed = RS.pack_stage_params(units, cfg)
+    got = RS.residual_stack_pallas(
+        x, *packed, dilations=tuple(cfg.dilations), interpret=True, tile_t=128
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_stack_ragged_last_tile():
+    cfg, units = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 700, 16), jnp.float32)
+    ref = x
+    for u, d in zip(units, cfg.dilations):
+        ref = seanet._apply_residual_unit(u, ref, d, cfg, "causal")
+    packed = RS.pack_stage_params(units, cfg)
+    got = RS.residual_stack_pallas(
+        x, *packed, dilations=tuple(cfg.dilations), interpret=True, tile_t=256
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_stack_single_dilation():
+    cfg, units = _setup(c=8, dilations=(1,))
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 8), jnp.float32)
+    ref = seanet._apply_residual_unit(units[0], x, 1, cfg, "causal")
+    packed = RS.pack_stage_params(units, cfg)
+    got = RS.residual_stack_pallas(x, *packed, dilations=(1,), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
