@@ -129,7 +129,15 @@ def main(argv=None) -> int:
     p.add_argument("--no-gan", action="store_true")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--debug-nans", action="store_true",
+        help="enable jax_debug_nans (SURVEY.md §6 sanitizer row): the step "
+        "raises at the first non-finite value instead of training on garbage",
+    )
     args = p.parse_args(argv)
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     cfg = get_config(args.config)
     overrides = {"seed": args.seed}

@@ -1,0 +1,59 @@
+"""Fault injection / elastic recovery (SURVEY.md §6 failure-detection row):
+kill training after N steps (simulated by process-style re-entry into
+loop.run), restart, and verify it resumes from the latest checkpoint and
+continues to completion."""
+
+import json
+import os
+
+import numpy as np
+
+from nsc_tpu.configs import TrainConfig, get_config
+from nsc_tpu.train import loop as loop_lib
+
+
+def _tcfg():
+    return TrainConfig(
+        batch_size=8,  # divisible by the 8 fake devices (loop uses the mesh)
+        segment_seconds=0.032,
+        use_gan=False,
+        disc_width_mult=1 / 16,
+        stft_fft_sizes=(128, 64),
+        mel_fft_size=128,
+        mel_bins=10,
+        quantizer_dropout=0.0,
+        log_every=1,
+        checkpoint_every=3,
+    )
+
+
+def test_crash_and_resume(tmp_path):
+    cfg = get_config("tiny_test")
+    wd = str(tmp_path / "run")
+
+    # phase 1: "crash" after 4 steps (checkpoint written at step 3)
+    loop_lib.run(cfg, _tcfg(), workdir=wd, data_spec="synthetic", steps=4)
+    from nsc_tpu.train import checkpoint as ckpt
+
+    assert ckpt.latest_step(os.path.join(wd, "train")) == 4  # final save too
+
+    # phase 2: restart with a higher target; must resume, not restart at 0
+    loop_lib.run(cfg, _tcfg(), workdir=wd, data_spec="synthetic", steps=7)
+    assert ckpt.latest_step(os.path.join(wd, "train")) == 7
+
+    rows = [
+        json.loads(line)
+        for line in open(os.path.join(wd, "metrics.jsonl"))
+    ]
+    steps = [r["step"] for r in rows]
+    # phase 2 logged only steps 5..7 (no step repeated from scratch)
+    assert max(steps) == 7
+    assert sorted(set(steps)) == steps, "steps re-ran from zero after resume"
+    assert all(np.isfinite(r["loss/g_total"]) for r in rows)
+
+    # inference export is loadable through the public API
+    import nsc_tpu
+
+    bundle = nsc_tpu.load_model("tiny_test", checkpoint=wd)
+    idx = nsc_tpu.encode(bundle, np.zeros(cfg.hop * 8, np.float32))
+    assert idx.shape == (8, cfg.num_quantizers)
