@@ -38,8 +38,15 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host (N, T) batch sharded over the data axis."""
-    return jax.device_put(batch, NamedSharding(mesh, P(DATA_AXIS)))
+    """Place a host (N, T) batch sharded over the data axis.
+
+    Multi-host: each process passes its process-local batch slice (global
+    batch = local batch * num_processes) and jax assembles the global array;
+    single-host this is just a sharded device_put."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, batch)
+    return jax.device_put(batch, sharding)
 
 
 def replicate(mesh: Mesh, tree):

@@ -85,14 +85,23 @@ def run(
 
     seg_len = int(tcfg.segment_seconds * cfg.sample_rate)
     seg_len = (seg_len // cfg.hop) * cfg.hop
-    source = data_lib.make_source(data_spec, cfg.sample_rate, tcfg.seed)
-    batches = source.batches(tcfg.batch_size, seg_len)
+    # per-process seed offset: each host draws distinct data (multi-host DP)
+    source = data_lib.make_source(
+        data_spec, cfg.sample_rate, tcfg.seed + 1009 * jax.process_index()
+    )
+    local_batch = tcfg.batch_size // jax.process_count()
+    batches = source.batches(local_batch, seg_len)
 
     logger = MetricsLogger(workdir)
     metrics = {}
     t0 = time.time()
+    # one-step host->device prefetch: the next batch transfers while the
+    # current step runs (dispatch is async; transfer overlaps compute)
+    pending = shard_batch(mesh, next(batches))
     for step in range(start_step, steps):
-        batch = shard_batch(mesh, next(batches))
+        batch = pending
+        if step + 1 < steps:
+            pending = shard_batch(mesh, next(batches))
         state, metrics = step_fn(state, batch)
         if (step + 1) % tcfg.log_every == 0 or step + 1 == steps:
             m = {k: float(v) for k, v in metrics.items()}
@@ -134,8 +143,15 @@ def main(argv=None) -> int:
         help="enable jax_debug_nans (SURVEY.md §6 sanitizer row): the step "
         "raises at the first non-finite value instead of training on garbage",
     )
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="call jax.distributed.initialize(); the same 'data' mesh then "
+        "spans all hosts (ICI within a slice, DCN across — SURVEY.md §6)",
+    )
     args = p.parse_args(argv)
 
+    if args.multihost:
+        jax.distributed.initialize()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
