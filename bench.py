@@ -28,13 +28,16 @@ def main() -> None:
     from nsc_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    # Backends picked by measurement (see git history): native XLA convs beat
-    # the matmul reformulations end-to-end at batch 64 (stacked pays HBM
-    # transposes); fused Pallas RVQ is used for the quantizer.
+    # Backends picked by measurement (docs/PERFORMANCE.md): native XLA convs
+    # beat the matmul reformulations end-to-end (stacked pays HBM
+    # transposes); fused Pallas RVQ for the quantizer; polynomial-sine snake
+    # (5e-6 max activation deviation) for the serving path — XLA's precise
+    # sin was 78% of runtime.
     cfg = dataclasses.replace(
         get_config("base"),
         compute_dtype="bfloat16",
         rvq_backend="pallas",
+        activation="snake_fast",
     )
     model, params, rvq = init_codec(jax.random.PRNGKey(0), cfg)
 

@@ -25,6 +25,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 Params = Dict[str, jax.Array]
@@ -178,9 +179,57 @@ def snake(x: jax.Array, params: Params) -> jax.Array:
     return x + s * s / (alpha + 1e-9)
 
 
+def fast_sin(t: jax.Array) -> jax.Array:
+    """Range-reduced degree-9 polynomial sine.
+
+    XLA's precise sin (Payne-Hanek-grade range reduction) dominates this
+    codec's runtime: the snake sites cost ~500 ms of the 636 ms
+    encode+decode at bench scale (docs/PERFORMANCE.md). Activations are
+    bounded here, so reduce t to [-pi/2, pi/2] with one round() and evaluate
+    the Taylor polynomial: max abs error ~4e-6 over +-100 — far below bf16
+    resolution (8e-3) and below f32 conv noise. ~12 VPU ops, fuses into conv
+    epilogues."""
+    f = t.astype(jnp.float32)
+    k = jnp.round(f * (1.0 / np.pi))
+    r = f - k * np.pi
+    parity = k - 2.0 * jnp.floor(k * 0.5)  # exact 0/1 for integral floats
+    sign = 1.0 - 2.0 * parity
+    r2 = r * r
+    # sin(r) Taylor to r^9 on [-pi/2, pi/2]
+    p = r * (
+        1.0
+        + r2 * (-1.0 / 6.0 + r2 * (1.0 / 120.0 + r2 * (-1.0 / 5040.0 + r2 * (1.0 / 362880.0))))
+    )
+    return (sign * p).astype(t.dtype)
+
+
+def _sin_sq_fast(t: jax.Array) -> jax.Array:
+    """sin^2(t) via range reduction WITHOUT sign handling: sin^2 is
+    pi-periodic and even in the reduced argument, so the parity/sign chain
+    of fast_sin is unnecessary. ~9 VPU ops."""
+    f = t.astype(jnp.float32)
+    r = f - jnp.round(f * (1.0 / np.pi)) * np.pi  # r in [-pi/2, pi/2]
+    r2 = r * r
+    p = r * (
+        1.0
+        + r2 * (-1.0 / 6.0 + r2 * (1.0 / 120.0 + r2 * (-1.0 / 5040.0 + r2 * (1.0 / 362880.0))))
+    )
+    return (p * p).astype(t.dtype)
+
+
+def snake_fast(x: jax.Array, params: Params) -> jax.Array:
+    """Snake with the polynomial sin^2 — the serving-path activation
+    (cfg.activation = 'snake_fast'); same parameters as 'snake'."""
+    alpha = params["alpha"].astype(x.dtype)
+    inv = (1.0 / (params["alpha"] + 1e-9)).astype(x.dtype)  # (C,) once
+    return x + _sin_sq_fast(alpha * x) * inv
+
+
 def activation(name: str, x: jax.Array, params: Optional[Params]) -> jax.Array:
     if name == "snake":
         return snake(x, params)
+    if name == "snake_fast":
+        return snake_fast(x, params)
     if name == "elu":
         return jax.nn.elu(x)
     raise ValueError(f"unknown activation {name!r}")
@@ -188,6 +237,6 @@ def activation(name: str, x: jax.Array, params: Optional[Params]) -> jax.Array:
 
 def activation_init(name: str, channels: int, dtype=jnp.float32):
     """Returns activation params (or None for parameter-free activations)."""
-    if name == "snake":
+    if name in ("snake", "snake_fast"):
         return init_snake(channels, dtype)
     return None
