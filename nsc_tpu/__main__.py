@@ -25,6 +25,11 @@ def _build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compress", help="wav -> nsc bitstream")
     c.add_argument("input"), c.add_argument("output")
     c.add_argument("--n-q", type=int, default=None, help="codebooks to use")
+    c.add_argument(
+        "--streaming", type=float, default=None, metavar="SECONDS",
+        help="encode in chunks of this many seconds through the streaming "
+        "encoder (identical indices to batch mode; bounded memory)",
+    )
     add_model_args(c)
 
     d = sub.add_parser("decompress", help="nsc bitstream -> wav")
@@ -83,7 +88,33 @@ def main(argv=None) -> int:
     if args.cmd == "compress":
         wav, _ = audio.load_wav(args.input, target_sr=bundle.cfg.sample_rate)
         wav = audio.to_mono(wav)
-        blob = nsc_tpu.compress(bundle, wav, n_q=args.n_q)
+        if args.streaming:
+            import numpy as np
+
+            from nsc_tpu import bitstream
+            from nsc_tpu.streaming import StreamingEncoder
+
+            cfg = bundle.cfg
+            hop = cfg.hop
+            chunk = max(hop, int(args.streaming * cfg.sample_rate) // hop * hop)
+            pad = (-len(wav)) % hop
+            padded = np.pad(wav, (0, pad))
+            enc = StreamingEncoder(
+                bundle.model, bundle.params, bundle.rvq, n_q=args.n_q
+            )
+            parts = [
+                enc.push(padded[i : i + chunk])
+                for i in range(0, len(padded), chunk)
+            ]
+            idx = np.concatenate(parts, axis=0)
+            header = bitstream.BitstreamHeader(
+                model_name=cfg.name, bits=cfg.bits_per_codebook,
+                n_q=idx.shape[-1], sample_rate=cfg.sample_rate, hop=hop,
+                num_frames=idx.shape[0], orig_len=len(wav),
+            )
+            blob = bitstream.serialize(header, idx)
+        else:
+            blob = nsc_tpu.compress(bundle, wav, n_q=args.n_q)
         open(args.output, "wb").write(blob)
         ratio = wav.nbytes / len(blob)
         print(f"wrote {args.output}: {len(blob)} bytes ({ratio:.1f}x vs f32 PCM)")
@@ -108,5 +139,18 @@ def main(argv=None) -> int:
     return 1
 
 
+def _entry() -> int:
+    try:
+        return main()
+    except FileNotFoundError as e:
+        print(f"error: file not found: {e.filename or e}", file=sys.stderr)
+    except (ValueError, KeyError) as e:
+        from nsc_tpu.bitstream import BitstreamError
+
+        kind = "bitstream error" if isinstance(e, BitstreamError) else "error"
+        print(f"{kind}: {e}", file=sys.stderr)
+    return 2
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_entry())
