@@ -23,16 +23,21 @@ import time
 import numpy as np
 
 
-def _barrier_time(fn, *args, iters=3):
+def _read_back(out):
     import jax.numpy as jnp
 
-    out = fn(*args)
-    _ = jax.tree.flatten(jax.tree.map(lambda x: float(jnp.sum(jnp.abs(x[..., :1].astype(jnp.float32)))), out))
+    jax.tree.map(
+        lambda x: float(jnp.sum(jnp.abs(jnp.ravel(x)[:1].astype(jnp.float32)))),
+        out,
+    )
+
+
+def _barrier_time(fn, *args, iters=3):
+    _read_back(fn(*args))
     ts = []
     for _i in range(iters):
         s = time.perf_counter()
-        out = fn(*args)
-        _ = jax.tree.flatten(jax.tree.map(lambda x: float(jnp.sum(jnp.abs(x[..., :1].astype(jnp.float32)))), out))
+        _read_back(fn(*args))
         ts.append(time.perf_counter() - s)
     return min(ts)
 
@@ -173,6 +178,13 @@ def main():
         4: lambda: config34_train_steps(True),
         5: config5_sweep,
     }
+    # merge with an existing results file so partial reruns don't clobber
+    try:
+        results = [
+            r for r in json.load(open(args.out)) if r.get("config") not in wanted
+        ]
+    except (OSError, ValueError):
+        results = []
     for i in sorted(wanted):
         print(f"--- config {i} ---", flush=True)
         try:
@@ -181,6 +193,7 @@ def main():
             row = {"config": i, "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(row), flush=True)
         results.append(row)
+    results.sort(key=lambda r: r.get("config", 0))
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {args.out}")
