@@ -30,6 +30,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="encode in chunks of this many seconds through the streaming "
         "encoder (identical indices to batch mode; bounded memory)",
     )
+    c.add_argument(
+        "--entropy", action="store_true",
+        help="arithmetic-code the index planes (smaller streams for "
+        "trained codebooks; decompress auto-detects)",
+    )
     add_model_args(c)
 
     d = sub.add_parser("decompress", help="nsc bitstream -> wav")
@@ -111,10 +116,13 @@ def main(argv=None) -> int:
                 model_name=cfg.name, bits=cfg.bits_per_codebook,
                 n_q=idx.shape[-1], sample_rate=cfg.sample_rate, hop=hop,
                 num_frames=idx.shape[0], orig_len=len(wav),
+                flags=bitstream.FLAG_ENTROPY if args.entropy else 0,
             )
             blob = bitstream.serialize(header, idx)
         else:
-            blob = nsc_tpu.compress(bundle, wav, n_q=args.n_q)
+            blob = nsc_tpu.compress(
+                bundle, wav, n_q=args.n_q, entropy_coding=args.entropy
+            )
         open(args.output, "wb").write(blob)
         ratio = wav.nbytes / len(blob)
         print(f"wrote {args.output}: {len(blob)} bytes ({ratio:.1f}x vs f32 PCM)")

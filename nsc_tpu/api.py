@@ -128,9 +128,16 @@ def decode(
 
 
 def compress(
-    bundle: ModelBundle, wav: ArrayLike, n_q: Optional[int] = None
+    bundle: ModelBundle,
+    wav: ArrayLike,
+    n_q: Optional[int] = None,
+    *,
+    entropy_coding: bool = False,
 ) -> bytes:
-    """(T,) waveform -> serialized NSC bitstream (header + index planes)."""
+    """(T,) waveform -> serialized NSC bitstream (header + index planes).
+
+    entropy_coding=True arithmetic-codes the planes (nsc_tpu/entropy.py) —
+    smaller streams for trained codebooks; decompress auto-detects."""
     arr = np.asarray(wav, dtype=np.float32)
     if arr.ndim != 1:
         raise ValueError("compress takes a single (T,) waveform")
@@ -144,6 +151,7 @@ def compress(
         hop=cfg.hop,
         num_frames=idx.shape[0],
         orig_len=arr.shape[0],
+        flags=bitstream.FLAG_ENTROPY if entropy_coding else 0,
     )
     return bitstream.serialize(header, idx)
 

@@ -160,13 +160,22 @@ def unpack_frames(
     return np.stack(planes, axis=1)
 
 
+FLAG_ENTROPY = 0x1  # planes are arithmetic-coded (nsc_tpu/entropy.py)
+
+
 def serialize(header: BitstreamHeader, indices: np.ndarray) -> bytes:
-    """Full stream: header + planes. indices: (F, n_q)."""
+    """Full stream: header + planes. indices: (F, n_q). If
+    header.flags & FLAG_ENTROPY, planes are adaptively arithmetic-coded
+    (smaller for trained/skewed codebooks) instead of fixed-width packed."""
     idx = np.asarray(indices)
     if idx.shape != (header.num_frames, header.n_q):
         raise BitstreamError(
             f"indices {idx.shape} != header ({header.num_frames}, {header.n_q})"
         )
+    if header.flags & FLAG_ENTROPY:
+        from nsc_tpu import entropy
+
+        return header.to_bytes() + entropy.encode_frames(idx, 1 << header.bits)
     return header.to_bytes() + pack_frames(idx, header.bits)
 
 
@@ -177,6 +186,17 @@ def deserialize(
     truncated to fewer planes than the header claims (bitrate truncation),
     returns the planes actually present; `max_n_q` further caps depth."""
     header, off = BitstreamHeader.from_bytes(blob)
+    if header.flags & FLAG_ENTROPY:
+        from nsc_tpu import entropy
+
+        n_q = entropy.count_planes(blob[off:], header.n_q)
+        if max_n_q is not None:
+            n_q = min(n_q, max_n_q)
+        if n_q < 1:
+            raise BitstreamError("no complete codebook plane in payload")
+        return header, entropy.decode_frames(
+            blob[off:], header.num_frames, n_q, 1 << header.bits
+        )
     per = plane_nbytes(header.num_frames, header.bits)
     avail = (len(blob) - off) // per if per else 0
     n_q = min(header.n_q, avail)
@@ -193,6 +213,12 @@ def truncate(blob: bytes, n_q: int) -> bytes:
     header, off = BitstreamHeader.from_bytes(blob)
     if n_q < 1 or n_q > header.n_q:
         raise BitstreamError(f"cannot truncate to {n_q} of {header.n_q} planes")
-    per = plane_nbytes(header.num_frames, header.bits)
     new_header = dataclasses.replace(header, n_q=n_q)
+    if header.flags & FLAG_ENTROPY:
+        end = 0
+        for _ in range(n_q):
+            ln = int.from_bytes(blob[off + end : off + end + 4], "little")
+            end += 4 + ln
+        return new_header.to_bytes() + blob[off : off + end]
+    per = plane_nbytes(header.num_frames, header.bits)
     return new_header.to_bytes() + blob[off : off + n_q * per]

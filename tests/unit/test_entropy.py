@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+
+from nsc_tpu import bitstream as B
+from nsc_tpu import entropy as E
+
+
+def test_plane_roundtrip_uniform():
+    rng = np.random.RandomState(0)
+    syms = rng.randint(0, 1024, 500).astype(np.int32)
+    coded = E.encode_plane(syms, 1024)
+    back = E.decode_plane(coded, 500, 1024)
+    np.testing.assert_array_equal(back, syms)
+
+
+def test_plane_roundtrip_skewed_and_compresses():
+    rng = np.random.RandomState(1)
+    # zipf-ish skew typical of a trained codebook
+    syms = np.minimum(rng.zipf(1.5, 2000) - 1, 255).astype(np.int32)
+    coded = E.encode_plane(syms, 256)
+    back = E.decode_plane(coded, 2000, 256)
+    np.testing.assert_array_equal(back, syms)
+    raw_bytes = (2000 * 8 + 7) // 8
+    assert len(coded) < 0.8 * raw_bytes, (len(coded), raw_bytes)
+
+
+def test_plane_edge_cases():
+    for syms in ([], [0], [15] * 100, list(range(16))):
+        arr = np.asarray(syms, np.int32)
+        coded = E.encode_plane(arr, 16)
+        back = E.decode_plane(coded, len(arr), 16)
+        np.testing.assert_array_equal(back, arr)
+    with pytest.raises(ValueError):
+        E.encode_plane(np.asarray([16]), 16)
+
+
+def test_frames_roundtrip_and_truncation():
+    rng = np.random.RandomState(2)
+    idx = rng.randint(0, 64, size=(300, 6)).astype(np.int32)
+    payload = E.encode_frames(idx, 64)
+    back = E.decode_frames(payload, 300, 6, 64)
+    np.testing.assert_array_equal(back, idx)
+    assert E.count_planes(payload, 6) == 6
+    # chop mid-plane: only complete planes decode
+    chopped = payload[: len(payload) - 3]
+    assert E.count_planes(chopped, 6) == 5
+
+
+def test_bitstream_entropy_flag_roundtrip():
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 1024, size=(200, 4)).astype(np.int32)
+    h = B.BitstreamHeader("base", 10, 4, 16000, 320, 200, 64000,
+                          flags=B.FLAG_ENTROPY)
+    blob = B.serialize(h, idx)
+    h2, idx2 = B.deserialize(blob)
+    assert h2.flags & B.FLAG_ENTROPY
+    np.testing.assert_array_equal(idx2, idx)
+    # truncation works on entropy streams too
+    short = B.truncate(blob, 2)
+    h3, idx3 = B.deserialize(short)
+    assert h3.n_q == 2
+    np.testing.assert_array_equal(idx3, idx[:, :2])
+
+
+def test_api_compress_entropy(tmp_path):
+    import nsc_tpu
+
+    bundle = nsc_tpu.load_model("tiny_test")
+    wav = (np.random.RandomState(0).randn(4000) * 0.1).astype(np.float32)
+    blob_raw = nsc_tpu.compress(bundle, wav)
+    blob_ent = nsc_tpu.compress(bundle, wav, entropy_coding=True)
+    out_raw = nsc_tpu.decompress(bundle, blob_raw)
+    out_ent = nsc_tpu.decompress(bundle, blob_ent)
+    np.testing.assert_allclose(out_raw, out_ent, atol=1e-7)
