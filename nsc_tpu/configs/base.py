@@ -66,6 +66,8 @@ class CodecConfig:
     # residual-unit stack: "reference" per-op | "pallas_fused" whole-stage
     # VMEM kernel (float-tolerance equal; inference path; snake only)
     unit_backend: str = "reference"
+    # inference quantization: "none" | "int8" (W8A8 dynamic, ops/quant.py)
+    quant: str = "none"
 
     @property
     def hop(self) -> int:

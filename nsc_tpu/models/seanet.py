@@ -38,7 +38,14 @@ def _conv(
     cfg: CodecConfig, x: jax.Array, p: Params, *,
     stride: int = 1, dilation: int = 1, padding: str = "causal",
 ) -> jax.Array:
-    """Backend dispatch: reference lax.conv vs MXU-stacked matmul (exact)."""
+    """Backend dispatch: reference lax.conv, MXU-stacked matmul (exact), or
+    int8 W8A8 (quantized serving path)."""
+    if cfg.quant == "int8":
+        from nsc_tpu.ops import quant as Q
+
+        return Q.conv1d_int8(
+            x, p, stride=stride, dilation=dilation, padding=padding
+        )
     if cfg.conv_backend == "stacked" and padding == "causal":
         return FC.stacked_conv1d(
             x, p, stride=stride, dilation=dilation, stack=cfg.conv_stack
@@ -49,6 +56,10 @@ def _conv(
 def _conv_transpose(
     cfg: CodecConfig, x: jax.Array, p: Params, *, stride: int
 ) -> jax.Array:
+    if cfg.quant == "int8" and cfg.causal:
+        from nsc_tpu.ops import quant as Q
+
+        return Q.conv_transpose1d_int8(x, p, stride=stride)
     if cfg.conv_backend == "stacked" and cfg.causal:
         return FC.polyphase_conv_transpose1d(x, p, stride=stride)
     return C.conv_transpose1d(x, p, stride=stride, causal=cfg.causal)

@@ -1,0 +1,58 @@
+"""int8 W8A8 path: op-level closeness + model-level quality preservation
+(measured on the trained demo checkpoint)."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsc_tpu.configs import get_config
+from nsc_tpu.ops import conv as C
+from nsc_tpu.ops import quant as Q
+
+
+def test_int8_conv_close_to_float():
+    p = C.init_conv(jax.random.PRNGKey(0), 5, 16, 24)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 100, 16))
+    ref = np.asarray(C.conv1d(x, p, dilation=3))
+    got = np.asarray(Q.conv1d_int8(x, p, dilation=3))
+    # W8A8 error bound: ~1% relative of dynamic range
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 0.02 * scale
+
+
+def test_int8_conv_transpose_close():
+    p = C.init_conv(jax.random.PRNGKey(2), 8, 12, 6)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 40, 12))
+    ref = np.asarray(C.conv_transpose1d(x, p, stride=4, causal=True))
+    got = np.asarray(Q.conv_transpose1d_int8(x, p, stride=4))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 0.02 * scale
+
+
+def test_int8_model_end_to_end_quality():
+    """On the trained demo checkpoint: int8 decode must stay close to the
+    float decode (mel distance budget), and most indices must agree."""
+    import nsc_tpu
+    from nsc_tpu.eval.quality import mel_distance
+    from nsc_tpu.models.codec import NeuralSpeechCodec
+
+    ckpt = os.path.join(os.path.dirname(__file__), "../../artifacts/small_synthetic_2k")
+    bundle = nsc_tpu.load_model("small", checkpoint=ckpt)
+    q_model = NeuralSpeechCodec(dataclasses.replace(bundle.cfg, quant="int8"))
+
+    rng = np.random.RandomState(0)
+    t = np.arange(32000) / 16000
+    wav = (0.4 * np.sin(2 * np.pi * (120 + 30 * t) * t)).astype(np.float32)[None]
+
+    idx_f = np.asarray(bundle.model.encode(bundle.params, bundle.rvq, jnp.asarray(wav)))
+    idx_q = np.asarray(q_model.encode(bundle.params, bundle.rvq, jnp.asarray(wav)))
+    match = (idx_f == idx_q).mean()
+    assert match > 0.7, f"int8 index agreement too low: {match}"
+
+    out_f = np.asarray(bundle.model.decode(bundle.params, bundle.rvq, jnp.asarray(idx_f)))
+    out_q = np.asarray(q_model.decode(bundle.params, bundle.rvq, jnp.asarray(idx_f)))
+    d = mel_distance(out_f[0], out_q[0])
+    assert d < 0.2, f"int8 decode mel drift too large: {d}"
