@@ -69,18 +69,30 @@ def _unit_stack(
     cfg: CodecConfig, h: jax.Array, units, padding: str
 ) -> jax.Array:
     """All residual units of one stage; whole-stage Pallas kernel when
-    enabled (memory-bound ops fused into one VMEM pass)."""
-    if (
+    enabled (memory-bound ops fused into one VMEM pass).
+
+    unit_backend "auto" fuses only wide stages (C >= 128), where the
+    kernel's per-tap matmuls run near MXU peak and activations overlap the
+    matmuls — measured faster than XLA there; narrow stages stay on XLA's
+    conv lowering, which wins at small C (docs/PERFORMANCE.md)."""
+    c = h.shape[-1]
+    use_fused = (
         cfg.unit_backend == "pallas_fused"
-        and cfg.activation == "snake"
+        or (cfg.unit_backend == "auto" and c >= 128)
+    )
+    if (
+        use_fused
+        and cfg.activation in ("snake", "snake_fast")
         and padding == "causal"
+        and cfg.quant == "none"
         and jax.default_backend() == "tpu"
     ):
         from nsc_tpu.ops.pallas import residual_stack as RS
 
         packed = RS.pack_stage_params(units, cfg)
         return RS.residual_stack_pallas(
-            h, *packed, dilations=tuple(cfg.dilations)
+            h, *packed, dilations=tuple(cfg.dilations),
+            fast_act=(cfg.activation == "snake_fast"),
         )
     for unit, dil in zip(units, cfg.dilations):
         h = _apply_residual_unit(unit, h, dil, cfg, padding)

@@ -41,10 +41,25 @@ def _snake(x, alpha, eps=1e-9):
     return x + s * s / (alpha + eps)
 
 
+def _snake_fast(x, alpha, eps=1e-9):
+    """Polynomial sin^2 variant (matches ops.conv.snake_fast)."""
+    import numpy as np
+
+    t = (alpha * x).astype(jnp.float32)
+    r = t - jnp.round(t * (1.0 / np.pi)) * np.pi
+    r2 = r * r
+    p = r * (
+        1.0
+        + r2 * (-1.0 / 6.0 + r2 * (1.0 / 120.0 + r2 * (-1.0 / 5040.0 + r2 * (1.0 / 362880.0))))
+    )
+    return x + ((p * p) / (alpha.astype(jnp.float32) + eps)).astype(x.dtype)
+
+
 def _stack_kernel(
     xp_hbm, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref, out_ref,
-    seg, sem, *, dilations, halo_alloc, tile_t, c,
+    seg, sem, *, dilations, halo_alloc, tile_t, c, fast_act,
 ):
+    act = _snake_fast if fast_act else _snake
     # The signal arrives channel-padded to >=128 lanes: Mosaic requires
     # manual-DMA slices aligned to the (8, 128) tile. The compute below runs
     # on the first `c` lanes only.
@@ -65,7 +80,7 @@ def _stack_kernel(
         alpha2 = a2_ref[pl.ds(u, 1), :]
         bias1 = b1_ref[pl.ds(u, 1), :]
         bias2 = b2_ref[pl.ds(u, 1), :]
-        a1v = _snake(buf, alpha1)
+        a1v = act(buf, alpha1)
         y = jax.lax.dot_general(
             a1v[0 : length - 2 * d], w1_ref[u, 0],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -79,7 +94,7 @@ def _stack_kernel(
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         y = (y + bias1.astype(jnp.float32)).astype(buf.dtype)
-        a2v = _snake(y, alpha2)
+        a2v = act(y, alpha2)
         z = jax.lax.dot_general(
             a2v, w2_ref[u],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -103,7 +118,7 @@ def _stack_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dilations", "interpret", "tile_t")
+    jax.jit, static_argnames=("dilations", "interpret", "tile_t", "fast_act")
 )
 def residual_stack_pallas(
     x: jax.Array,
@@ -117,6 +132,7 @@ def residual_stack_pallas(
     dilations: tuple,
     interpret: bool = False,
     tile_t: int | None = None,
+    fast_act: bool = False,
 ) -> jax.Array:
     """x (B, T, C) -> (B, T, C): the full residual-unit stack of one stage."""
     b, t, c = x.shape
@@ -136,7 +152,7 @@ def residual_stack_pallas(
     out = pl.pallas_call(
         functools.partial(
             _stack_kernel, dilations=dilations, halo_alloc=halo_alloc,
-            tile_t=tile_t, c=c,
+            tile_t=tile_t, c=c, fast_act=fast_act,
         ),
         grid=(b, n_tiles),
         in_specs=[

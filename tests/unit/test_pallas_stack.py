@@ -65,6 +65,21 @@ def test_fused_stack_ragged_last_tile():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
+def test_fused_stack_fast_act_close():
+    """fast_act=True (polynomial sin^2) stays within poly tolerance."""
+    cfg, units = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 512, 16), jnp.float32)
+    ref = x
+    for u, d in zip(units, cfg.dilations):
+        ref = seanet._apply_residual_unit(u, ref, d, cfg, "causal")
+    packed = RS.pack_stage_params(units, cfg)
+    got = RS.residual_stack_pallas(
+        x, *packed, dilations=tuple(cfg.dilations), interpret=True,
+        fast_act=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-3, atol=1e-3)
+
+
 def test_fused_stack_single_dilation():
     cfg, units = _setup(c=8, dilations=(1,))
     x = jax.random.normal(jax.random.PRNGKey(2), (1, 256, 8), jnp.float32)
