@@ -39,6 +39,7 @@ class NeuralSpeechCodec:
         """(N, T) or (N, T, 1) waveform -> (N, F, n_q) int32 indices."""
         x = self._shape_wav(wav)
         z = seanet.apply_encoder(params["encoder"], x, self.cfg)
+        z = self._project_in(params, z)
         return rvq_ops.quantize(rvq, z, n_q=n_q, backend=self.cfg.rvq_backend)
 
     def decode(
@@ -49,6 +50,7 @@ class NeuralSpeechCodec:
         z = rvq_ops.dequantize(
             rvq, indices, n_q=n_q, backend=self.cfg.rvq_backend
         )
+        z = self._project_out(params, z)
         z = z.astype(self.compute_dtype)
         wav = seanet.apply_decoder(params["decoder"], z, self.cfg)
         return wav[..., 0].astype(jnp.float32)
@@ -79,9 +81,10 @@ class NeuralSpeechCodec:
         estimator; EMA stats ride along in rvq_forward.
         """
         x = self._shape_wav(wav)
-        z = seanet.apply_encoder(params["encoder"], x, self.cfg)
+        z_lat = seanet.apply_encoder(params["encoder"], x, self.cfg)
+        z = self._project_in(params, z_lat)
         fwd = rvq_ops.forward(rvq, z, depth=depth, axis_name=axis_name)
-        zq = fwd.quantized.astype(self.compute_dtype)
+        zq = self._project_out(params, fwd.quantized).astype(self.compute_dtype)
         recon = seanet.apply_decoder(params["decoder"], zq, self.cfg)
         return recon[..., 0], fwd, z
 
@@ -90,6 +93,27 @@ class NeuralSpeechCodec:
     @property
     def compute_dtype(self):
         return jnp.dtype(self.cfg.compute_dtype)
+
+    @property
+    def factorized(self) -> bool:
+        return self.cfg.codebook_dim != self.cfg.latent_dim
+
+    def _project_in(self, params: Params, z: jax.Array) -> jax.Array:
+        """latent -> codebook space (factorized codes; identity otherwise)."""
+        if not self.factorized:
+            return z
+        return jnp.dot(
+            z.astype(jnp.float32), params["proj_in"].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+
+    def _project_out(self, params: Params, zq: jax.Array) -> jax.Array:
+        if not self.factorized:
+            return zq
+        return jnp.dot(
+            zq.astype(jnp.float32), params["proj_out"].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
 
     def _shape_wav(self, wav: jax.Array) -> jax.Array:
         if wav.ndim == 2:
@@ -107,11 +131,21 @@ class NeuralSpeechCodec:
 def init_codec(
     key: jax.Array, cfg: CodecConfig
 ) -> Tuple[NeuralSpeechCodec, Params, rvq_ops.RVQState]:
-    ke, kd, kq = jax.random.split(key, 3)
+    ke, kd, kq, kp = jax.random.split(key, 4)
     params = {
         "encoder": seanet.init_encoder(ke, cfg),
         "decoder": seanet.init_decoder(kd, cfg),
     }
+    if cfg.codebook_dim != cfg.latent_dim:
+        k1, k2 = jax.random.split(kp)
+        s_in = 1.0 / jnp.sqrt(cfg.latent_dim)
+        s_out = 1.0 / jnp.sqrt(cfg.codebook_dim)
+        params["proj_in"] = (
+            jax.random.normal(k1, (cfg.latent_dim, cfg.codebook_dim)) * s_in
+        )
+        params["proj_out"] = (
+            jax.random.normal(k2, (cfg.codebook_dim, cfg.latent_dim)) * s_out
+        )
     rvq = rvq_ops.init_rvq(kq, cfg)
     return NeuralSpeechCodec(cfg), params, rvq
 

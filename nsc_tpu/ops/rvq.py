@@ -39,10 +39,9 @@ RVQState = Dict[str, jax.Array]
 
 
 def init_rvq(key: jax.Array, cfg: CodecConfig) -> RVQState:
-    if cfg.codebook_dim != cfg.latent_dim:
-        raise NotImplementedError(
-            "codebook_dim != latent_dim (factorized codes) not yet supported"
-        )
+    """Codebooks live in codebook_dim space; when codebook_dim != latent_dim
+    the model applies trained in/out projections around the RVQ (factorized
+    codes, DAC-style [INFERRED]) — see models/codec.py."""
     n_q, k, d = cfg.num_quantizers, cfg.codebook_size, cfg.codebook_dim
     cb = jax.random.normal(key, (n_q, k, d), jnp.float32)
     return {

@@ -217,13 +217,15 @@ def decoder_stream(
 @functools.partial(jax.jit, static_argnames=("model", "n_q"))
 def _encode_chunk_jit(model, params, rvq, state, chunk, n_q):
     z, new_state = encoder_stream(params["encoder"], state, chunk, model.cfg)
+    z = model._project_in(params, z)  # factorized codes (identity otherwise)
     idx = rvq_ops.quantize(rvq, z, n_q=n_q)
     return idx, new_state
 
 
 @functools.partial(jax.jit, static_argnames=("model", "n_q"))
 def _decode_chunk_jit(model, params, rvq, state, idx, n_q):
-    z = rvq_ops.dequantize(rvq, idx, n_q=n_q).astype(model.compute_dtype)
+    z = rvq_ops.dequantize(rvq, idx, n_q=n_q)
+    z = model._project_out(params, z).astype(model.compute_dtype)
     wav, new_state = decoder_stream(params["decoder"], state, z, model.cfg)
     return wav[..., 0], new_state
 
