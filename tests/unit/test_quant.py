@@ -39,7 +39,7 @@ def test_int8_model_end_to_end_quality():
     from nsc_tpu.eval.quality import mel_distance
     from nsc_tpu.models.codec import NeuralSpeechCodec
 
-    ckpt = os.path.join(os.path.dirname(__file__), "../../artifacts/small_synthetic_2k")
+    ckpt = os.path.join(os.path.dirname(__file__), "../../artifacts/small_synthetic_10k")
     bundle = nsc_tpu.load_model("small", checkpoint=ckpt)
     q_model = NeuralSpeechCodec(dataclasses.replace(bundle.cfg, quant="int8"))
 
