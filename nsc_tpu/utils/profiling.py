@@ -31,7 +31,7 @@ def barrier(x=None) -> None:
         x = jnp.zeros(())
     leaves = [l for l in jax.tree.leaves(x) if hasattr(l, "dtype")]
     if leaves:
-        float(jnp.sum(jnp.abs(leaves[0][..., :1].astype(jnp.float32))))
+        float(jnp.sum(jnp.abs(jnp.ravel(leaves[0])[:1].astype(jnp.float32))))
 
 
 @contextlib.contextmanager
