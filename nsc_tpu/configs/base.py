@@ -171,6 +171,22 @@ def _small() -> CodecConfig:
     )
 
 
+@register_config("small_factorized")
+def _small_factorized() -> CodecConfig:
+    """Small variant with DAC-style factorized codes: nearest-neighbor
+    search in a 16-dim projected space (cheaper distances, better codebook
+    usage at scale)."""
+    return CodecConfig(
+        name="small_factorized",
+        base_width=16,
+        strides=(2, 4, 5, 8),
+        latent_dim=64,
+        codebook_dim=16,
+        num_quantizers=2,
+        codebook_size=256,
+    )
+
+
 @register_config("tiny_test")
 def _tiny_test() -> CodecConfig:
     """CPU-fast config for unit/integration tests only."""
