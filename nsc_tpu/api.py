@@ -162,11 +162,20 @@ def decompress(
     """Serialized bitstream -> (orig_len,) waveform."""
     header, idx = bitstream.deserialize(blob, max_n_q=n_q)
     cfg = bundle.cfg
-    if header.hop != cfg.hop or header.sample_rate != cfg.sample_rate:
+    # Identity must match fully: distinct models can share sr/hop (and even
+    # bits-per-book), but their codebooks differ, so a foreign stream would
+    # decode to garbage silently. The header carries name + bits; check all.
+    if (
+        header.hop != cfg.hop
+        or header.sample_rate != cfg.sample_rate
+        or header.bits != cfg.bits_per_codebook
+        or header.model_name != cfg.name
+    ):
         raise ValueError(
             f"bitstream was made by model {header.model_name!r} "
-            f"(sr={header.sample_rate}, hop={header.hop}); loaded model "
-            f"{cfg.name!r} (sr={cfg.sample_rate}, hop={cfg.hop}) is incompatible"
+            f"(sr={header.sample_rate}, hop={header.hop}, bits={header.bits}); "
+            f"loaded model {cfg.name!r} (sr={cfg.sample_rate}, hop={cfg.hop}, "
+            f"bits={cfg.bits_per_codebook}) is incompatible"
         )
     wav = decode(bundle, idx)
     return wav[: header.orig_len]

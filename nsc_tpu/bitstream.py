@@ -217,8 +217,22 @@ def truncate(blob: bytes, n_q: int) -> bytes:
     if header.flags & FLAG_ENTROPY:
         end = 0
         for _ in range(n_q):
+            # bounds-check each section: a blob already truncated mid-plane
+            # must raise, not yield a garbage end offset
+            if off + end + 4 > len(blob):
+                raise BitstreamError(
+                    f"payload holds fewer than {n_q} complete entropy planes"
+                )
             ln = int.from_bytes(blob[off + end : off + end + 4], "little")
+            if off + end + 4 + ln > len(blob):
+                raise BitstreamError(
+                    f"payload holds fewer than {n_q} complete entropy planes"
+                )
             end += 4 + ln
         return new_header.to_bytes() + blob[off : off + end]
     per = plane_nbytes(header.num_frames, header.bits)
+    if len(blob) < off + n_q * per:
+        raise BitstreamError(
+            f"payload holds fewer than {n_q} complete planes"
+        )
     return new_header.to_bytes() + blob[off : off + n_q * per]

@@ -135,7 +135,18 @@ def convert_torch_checkpoint(
         "ema_count": jnp.ones(codebooks.shape[:2], jnp.float32),
         "ema_sum": codebooks.copy(),
     }
-    return {"encoder": encoder, "decoder": decoder}, rvq_state
+    params = {"encoder": encoder, "decoder": decoder}
+    if cfg.codebook_dim != cfg.latent_dim:
+        # factorized codes: torch Linear weight is (out, in); ours is applied
+        # as z @ W, so transpose — proj_in: (latent, codebook), proj_out:
+        # (codebook, latent)
+        params["proj_in"] = jnp.asarray(
+            _get(sd, "proj_in.weight").T, jnp.float32
+        )
+        params["proj_out"] = jnp.asarray(
+            _get(sd, "proj_out.weight").T, jnp.float32
+        )
+    return params, rvq_state
 
 
 def load_torch_checkpoint_file(

@@ -234,14 +234,24 @@ class TorchCodec(nn.Module):
         self.encoder = TorchEncoder(cfg)
         self.decoder = TorchDecoder(cfg)
         self.rvq = TorchRVQ(cfg)
+        # factorized codes (codebook_dim != latent_dim): trained linear
+        # projections around the RVQ, mirroring models/codec.py _project_in/out
+        self.factorized = cfg.codebook_dim != cfg.latent_dim
+        if self.factorized:
+            self.proj_in = nn.Linear(cfg.latent_dim, cfg.codebook_dim, bias=False)
+            self.proj_out = nn.Linear(cfg.codebook_dim, cfg.latent_dim, bias=False)
 
     @torch.no_grad()
     def encode(self, wav, n_q=None):
         """(N, T) -> (N, F, n_q)"""
         z = self.encoder(wav[:, None, :])
+        if self.factorized:
+            z = self.proj_in(z.transpose(1, 2).float()).transpose(1, 2)
         return self.rvq.quantize(z, n_q)
 
     @torch.no_grad()
     def decode(self, indices, n_q=None):
         z = self.rvq.dequantize(indices, n_q)
+        if self.factorized:
+            z = self.proj_out(z.transpose(1, 2).float()).transpose(1, 2)
         return self.decoder(z)[:, 0, :]

@@ -47,7 +47,8 @@ class CodecConfig:
     codebook_dim: int = 128        # == latent_dim unless projected
     ema_decay: float = 0.99
     ema_eps: float = 1e-5          # Laplace smoothing for cluster sizes
-    commitment_weight: float = 0.25
+    # (commitment loss weight lives in TrainConfig.weight_commit — a training
+    # hyperparameter, not a model-architecture property)
     # expired-code refresh: codes with EMA usage below this get re-seeded
     threshold_dead_code: float = 2.0
 
@@ -100,8 +101,14 @@ class TrainConfig:
     adam_b1: float = 0.5
     adam_b2: float = 0.9
     steps: int = 400_000
+    # LR schedule: linear warmup over warmup_steps, then (if lr_decay_steps
+    # > 0) cosine decay to lr * lr_end_factor at lr_decay_steps. Both 0 =>
+    # constant LR (test/smoke configs). Real runs: see train/__main__.py
+    # defaults (warmup 2000, decay over the full run).
     warmup_steps: int = 0
-    grad_clip: float = 1e3
+    lr_decay_steps: int = 0
+    lr_end_factor: float = 0.01
+    grad_clip: float = 1.0
     seed: int = 0
 
     # loss weights

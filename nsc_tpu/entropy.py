@@ -23,6 +23,10 @@ _HALF = 0x80000000
 _Q1 = 0x40000000
 _Q3 = 0xC0000000
 REBUILD = 64
+# The 32-bit coder needs total <= span at all times (span >= _Q1 after
+# renormalization), so counts are halved when their sum crosses this; the
+# rescale happens at rebuild points only, identically on encode and decode.
+RESCALE_AT = 1 << 29
 
 
 class _BitWriter:
@@ -95,6 +99,10 @@ class _AdaptiveModel:
         self._pending += 1
         if self._pending >= REBUILD:
             self._pending = 0
+            if int(self.counts.sum()) > RESCALE_AT:
+                # halve (ceil) so every count stays >= 1; keeps total well
+                # under the coder's total<=span invariant for any plane length
+                self.counts = (self.counts + 1) >> 1
             self._rebuild()
 
 

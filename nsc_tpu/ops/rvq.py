@@ -237,7 +237,8 @@ def ema_update(
     eps: float = 1e-5,
     dead_threshold: float = 2.0,
     reseed_candidates: Optional[jax.Array] = None,
-) -> RVQState:
+    return_metrics: bool = False,
+):
     """Fold one batch's assignment stats into the EMA codebooks.
 
     Standard VQ-VAE EMA with Laplace smoothing; codes whose EMA usage falls
@@ -245,6 +246,14 @@ def ema_update(
     (n_q, K, D) array of encoder outputs (see sample_reseed_candidates) — to
     prevent codebook collapse. Under DP, `counts`/`sums` must already be
     psum'd (forward(axis_name=...)).
+
+    Reseeded codes get their EMA count reset to dead_threshold / decay**grace
+    (grace = 20 steps): a reseeded code that wins no assignments for ~grace
+    steps dies again, but it is not re-reseeded on the very next step the way
+    a reset-to-1 (< threshold) would force — that caused indefinite churn at
+    small batch sizes.
+
+    With return_metrics=True returns (state, {'reseed_frac': scalar}).
     """
     n_q_used = counts.shape[0]
     cb_all = state["codebooks"]
@@ -259,19 +268,29 @@ def ema_update(
     smoothed = (new_count + eps) / (total + k * eps) * total
     new_cb = new_sum / smoothed[..., None]
 
+    reseed_frac = jnp.zeros((), jnp.float32)
     if reseed_candidates is not None:
         candidates = reseed_candidates  # (n_q, K, D)
         dead = (new_count < dead_threshold)[..., None]
+        reseed_frac = jnp.mean(dead.astype(jnp.float32))
+        # ~20 steps of decay-grace at the default 0.99; capped so small test
+        # decays don't blow the count (and with it the EMA inertia) up
+        grace_count = min(dead_threshold / decay**20, 4.0 * dead_threshold)
         new_cb = jnp.where(dead, candidates, new_cb)
         # reset EMA stats of reseeded codes so they don't instantly re-die
-        new_sum = jnp.where(dead, candidates, new_sum)
-        new_count = jnp.where(dead[..., 0], jnp.ones_like(new_count), new_count)
+        new_sum = jnp.where(dead, candidates * grace_count, new_sum)
+        new_count = jnp.where(
+            dead[..., 0], jnp.full_like(new_count, grace_count), new_count
+        )
 
-    return {
+    out = {
         "codebooks": cb_all.at[:n_q_used].set(new_cb),
         "ema_count": ema_count.at[:n_q_used].set(new_count),
         "ema_sum": ema_sum.at[:n_q_used].set(new_sum),
     }
+    if return_metrics:
+        return out, {"reseed_frac": reseed_frac}
+    return out
 
 
 def codebook_perplexity(counts: jax.Array) -> jax.Array:

@@ -37,11 +37,37 @@ from nsc_tpu.models.codec import NeuralSpeechCodec, init_codec
 TrainState = Dict[str, Any]  # pytree; see init_train_state
 
 
+def make_lr_schedule(base_lr: float, tcfg: TrainConfig) -> optax.Schedule:
+    """Linear warmup -> optional cosine decay to base_lr * lr_end_factor
+    (family-standard practice for 100k+-step GAN runs); constant when both
+    warmup_steps and lr_decay_steps are 0 (test configs)."""
+    if tcfg.warmup_steps <= 0 and tcfg.lr_decay_steps <= 0:
+        return optax.constant_schedule(base_lr)
+    warmup = max(tcfg.warmup_steps, 0)
+    if tcfg.lr_decay_steps > 0:
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=base_lr,
+            warmup_steps=max(warmup, 1),
+            decay_steps=max(tcfg.lr_decay_steps, warmup + 1),
+            end_value=base_lr * tcfg.lr_end_factor,
+        )
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, base_lr, warmup),
+            optax.constant_schedule(base_lr),
+        ],
+        boundaries=[warmup],
+    )
+
+
 def make_optimizers(tcfg: TrainConfig) -> Tuple[optax.GradientTransformation, ...]:
     def make(lr):
         return optax.chain(
             optax.clip_by_global_norm(tcfg.grad_clip),
-            optax.adam(lr, b1=tcfg.adam_b1, b2=tcfg.adam_b2),
+            optax.adam(
+                make_lr_schedule(lr, tcfg), b1=tcfg.adam_b1, b2=tcfg.adam_b2
+            ),
         )
 
     return make(tcfg.lr_g), make(tcfg.lr_d)
@@ -89,6 +115,7 @@ def make_train_step(
     """
     cfg = model.cfg
     opt_g, opt_d = make_optimizers(tcfg)
+    lr_schedule_g = make_lr_schedule(tcfg.lr_g, tcfg)
     mrstft_cfg = spectral.MultiResSTFTConfig(fft_sizes=tcfg.stft_fft_sizes)
 
     def pmean(x):
@@ -184,16 +211,21 @@ def make_train_step(
             k_reseed, pool, fwd.counts.shape[0], cfg.codebook_size,
             axis_name=axis_name,
         )
-        new_rvq = rvq_ops.ema_update(
+        new_rvq, rvq_metrics = rvq_ops.ema_update(
             state["rvq"], fwd.counts, fwd.sums,
             decay=cfg.ema_decay, eps=cfg.ema_eps,
             dead_threshold=cfg.threshold_dead_code,
             reseed_candidates=candidates,
+            return_metrics=True,
         )
         metrics["rvq/perplexity"] = jnp.mean(
             rvq_ops.codebook_perplexity(fwd.counts)
         )
         metrics["rvq/usage"] = jnp.mean(fwd.usage)
+        # churn observability: fraction of codes reseeded this step — must
+        # decay toward ~0 as codebooks settle (tests/integration/test_training.py)
+        metrics["rvq/reseed_frac"] = rvq_metrics["reseed_frac"]
+        metrics["lr/g"] = lr_schedule_g(step)
 
         # --- discriminator update ---
         new_params_d, new_opt_d = state["params_d"], state["opt_d"]

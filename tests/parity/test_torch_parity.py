@@ -104,3 +104,26 @@ def test_checkpoint_file_roundtrip(setup, tmp_path):
     idx_a = np.asarray(model.encode(params, rvq, jnp.asarray(wav)))
     idx_b = np.asarray(model.encode(params2, rvq2, jnp.asarray(wav)))
     np.testing.assert_array_equal(idx_a, idx_b)
+
+
+def test_factorized_index_parity():
+    """Factorized codes (codebook_dim != latent_dim): converter emits the
+    projection weights and the twin applies them — indices stay bit-exact."""
+    import dataclasses
+
+    cfg = dataclasses.replace(get_config("tiny_test"), codebook_dim=4)
+    tm = TorchCodec(cfg).eval()
+    assert tm.factorized
+    params, rvq = convert_torch_checkpoint(tm.state_dict(), cfg)
+    assert "proj_in" in params and "proj_out" in params
+    model = NeuralSpeechCodec(cfg)
+    wav = (np.random.RandomState(2).randn(2, 32 * cfg.hop) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        idx_t = tm.encode(torch.from_numpy(wav)).numpy()
+    idx_j = np.asarray(model.encode(params, rvq, jnp.asarray(wav)))
+    np.testing.assert_array_equal(idx_j, idx_t)
+    idx = jnp.asarray(idx_t)
+    with torch.no_grad():
+        wav_t = tm.decode(torch.from_numpy(idx_t)).numpy()
+    wav_j = np.asarray(model.decode(params, rvq, idx))
+    np.testing.assert_allclose(wav_j, wav_t, rtol=1e-3, atol=1e-4)

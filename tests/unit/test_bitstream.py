@@ -82,3 +82,32 @@ def test_bad_inputs():
         B.pack_plane(np.array([1024]), 10)  # exceeds bit width
     with pytest.raises(B.BitstreamError):
         B.deserialize(_header(10, 2).to_bytes())  # no payload at all
+
+
+def test_truncate_rejects_incomplete_payload():
+    """truncate() must bounds-check: a blob already chopped mid-plane cannot
+    be re-truncated to more planes than it actually holds."""
+    rng = np.random.RandomState(4)
+    idx = rng.randint(0, 1024, size=(50, 8)).astype(np.int32)
+    blob = B.serialize(_header(50, 8), idx)
+    per = B.plane_nbytes(50, 10)
+    chopped = blob[: len(blob) - 5 * per - 3]  # 2 complete planes + partial
+    with pytest.raises(B.BitstreamError):
+        B.truncate(chopped, 4)
+    ok = B.truncate(chopped, 2)  # the complete prefix still truncates fine
+    _, idx2 = B.deserialize(ok)
+    np.testing.assert_array_equal(idx2, idx[:, :2])
+
+
+def test_truncate_rejects_incomplete_entropy_payload():
+    rng = np.random.RandomState(5)
+    idx = rng.randint(0, 256, size=(100, 4)).astype(np.int32)
+    h = B.BitstreamHeader("base", 8, 4, 16000, 320, 100, 32000,
+                          flags=B.FLAG_ENTROPY)
+    blob = B.serialize(h, idx)
+    chopped = blob[:-3]  # final plane now incomplete
+    with pytest.raises(B.BitstreamError):
+        B.truncate(chopped, 4)
+    ok = B.truncate(chopped, 2)
+    _, idx2 = B.deserialize(ok)
+    np.testing.assert_array_equal(idx2, idx[:, :2])

@@ -72,3 +72,24 @@ def test_api_compress_entropy(tmp_path):
     out_raw = nsc_tpu.decompress(bundle, blob_raw)
     out_ent = nsc_tpu.decompress(bundle, blob_ent)
     np.testing.assert_allclose(out_raw, out_ent, atol=1e-7)
+
+
+def test_adaptive_model_count_rescaling(monkeypatch):
+    """Unbounded count growth would break the coder's total<=span invariant
+    on very long planes; counts are halved at RESCALE_AT. Force a tiny
+    threshold so the rescale path triggers many times and encode/decode stay
+    in lockstep."""
+    monkeypatch.setattr(E, "RESCALE_AT", 4096)
+    rng = np.random.RandomState(6)
+    syms = np.minimum(rng.zipf(1.3, 3000) - 1, 63).astype(np.int32)
+    coded = E.encode_plane(syms, 64)
+    back = E.decode_plane(coded, 3000, 64)
+    np.testing.assert_array_equal(back, syms)
+
+
+def test_adaptive_model_total_stays_bounded(monkeypatch):
+    monkeypatch.setattr(E, "RESCALE_AT", 4096)
+    m = E._AdaptiveModel(64)
+    for i in range(2000):
+        m.update(i % 64)
+    assert m.total <= 4096 + 32 * E.REBUILD + 64
