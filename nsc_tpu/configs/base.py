@@ -128,6 +128,10 @@ class TrainConfig:
     stft_fft_sizes: Tuple[int, ...] = (2048, 1024, 512, 256, 128)
     mel_fft_size: int = 1024
     mel_bins: int = 80
+    # loss-path STFT lowering: "xla" matmul-DFT (default, measured faster on
+    # this model's loss shapes — docs/PERFORMANCE.md) | "pallas" fused kernel
+    # (ops/pallas/stft.py; auto-falls back to xla off-TPU)
+    stft_backend: str = "xla"
 
     # quantizer-dropout: train with random RVQ depth for bandwidth
     # scalability at inference (BASELINE.json:11)

@@ -25,12 +25,27 @@ class MultiResSTFTConfig:
     win_divisor: int = 1          # win = n_fft
 
 
+def _stft_mag(x: jax.Array, n_fft: int, hop: int, backend: str) -> jax.Array:
+    """Loss-site STFT-magnitude dispatch (TrainConfig.stft_backend):
+      'xla'    — matmul-DFT lowering (rides the MXU; shard_map-safe VJP).
+      'pallas' — fused kernel (ops/pallas/stft.py), XLA VJP; TPU only,
+                 silently falls back to 'xla' elsewhere.
+      'pallas_interpret' — kernel in interpreter mode (CPU exactness tests).
+    """
+    if backend.startswith("pallas"):
+        interp = backend == "pallas_interpret"
+        if interp or jax.default_backend() == "tpu":
+            return S.stft_magnitude_fused(x, n_fft, hop, interpret=interp)
+    return S.stft_magnitude(x, n_fft, hop, use_matmul_dft=True)
+
+
 def multi_res_stft_loss(
     pred: jax.Array,
     target: jax.Array,
     cfg: MultiResSTFTConfig = MultiResSTFTConfig(),
     *,
     eps: float = 1e-5,
+    backend: str = "xla",
 ) -> jax.Array:
     """(N, T) waveforms -> scalar. Sum over resolutions of
     (spectral convergence + log-mag L1), averaged over the batch.
@@ -40,12 +55,8 @@ def multi_res_stft_loss(
     total = jnp.asarray(0.0, jnp.float32)
     for n_fft in cfg.fft_sizes:
         hop = n_fft // cfg.hop_divisor
-        p = S.stft_magnitude(
-            pred.astype(jnp.float32), n_fft, hop, use_matmul_dft=True
-        )
-        t = S.stft_magnitude(
-            target.astype(jnp.float32), n_fft, hop, use_matmul_dft=True
-        )
+        p = _stft_mag(pred.astype(jnp.float32), n_fft, hop, backend)
+        t = _stft_mag(target.astype(jnp.float32), n_fft, hop, backend)
         sc = jnp.linalg.norm(t - p, axis=(-2, -1)) / (
             jnp.linalg.norm(t, axis=(-2, -1)) + eps
         )
@@ -64,17 +75,20 @@ def mel_loss(
     n_fft: int = 1024,
     hop: int = 256,
     n_mels: int = 80,
+    backend: str = "xla",
 ) -> jax.Array:
-    """L1 between log-mel spectrograms, (N, T) -> scalar."""
-    p = S.mel_spectrogram(
-        pred.astype(jnp.float32), sample_rate, n_fft, hop, n_mels,
-        use_matmul_dft=True,
-    )
-    t = S.mel_spectrogram(
-        target.astype(jnp.float32), sample_rate, n_fft, hop, n_mels,
-        use_matmul_dft=True,
-    )
-    return jnp.mean(jnp.abs(p - t))
+    """L1 between log-mel spectrograms, (N, T) -> scalar.
+
+    Same magnitudes as ops.stft.mel_spectrogram(use_matmul_dft=True) (eps
+    values match); the mel projection + log happen here so the stft_backend
+    dispatch applies."""
+
+    def logmel(x):
+        mag = _stft_mag(x.astype(jnp.float32), n_fft, hop, backend)
+        fb = S.mel_filterbank(sample_rate, n_fft, n_mels)
+        return jnp.log(jnp.einsum("...tk,km->...tm", mag, fb) + 1e-5)
+
+    return jnp.mean(jnp.abs(logmel(pred) - logmel(target)))
 
 
 def time_l1_loss(pred: jax.Array, target: jax.Array) -> jax.Array:

@@ -90,6 +90,40 @@ def stft_magnitude(
     return jnp.sqrt(z.real * z.real + z.imag * z.imag + eps)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _stft_magnitude_fused(x, n_fft: int, hop: int, interpret: bool):
+    from nsc_tpu.ops.pallas.stft import stft_magnitude_pallas
+
+    return stft_magnitude_pallas(x, n_fft, hop, interpret=interpret)
+
+
+def _fused_fwd(x, n_fft, hop, interpret):
+    return _stft_magnitude_fused(x, n_fft, hop, interpret), x
+
+
+def _fused_bwd(n_fft, hop, interpret, x, g):
+    # Backward through the XLA matmul-DFT lowering (float-tolerance equal to
+    # the kernel's forward): Pallas kernels with manual DMA aren't
+    # auto-differentiable, and the VJP re-derives the framing gather +
+    # DFT-basis matmuls XLA already fuses well.
+    _, vjp = jax.vjp(
+        lambda xx: stft_magnitude(xx, n_fft, hop, use_matmul_dft=True), x
+    )
+    return (vjp(g)[0],)
+
+
+_stft_magnitude_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def stft_magnitude_fused(
+    x: jax.Array, n_fft: int, hop: int, *, interpret: bool = False
+) -> jax.Array:
+    """|STFT| via the fused Pallas kernel (ops/pallas/stft.py) with the XLA
+    path as its VJP — differentiable, so it drops into the spectral losses
+    (losses/spectral.py stft_backend='pallas'). (B, T) only."""
+    return _stft_magnitude_fused(x, n_fft, hop, interpret)
+
+
 @functools.lru_cache(maxsize=32)
 def _dft_basis_np(n_fft: int):
     """Real/imag rfft basis, (n_fft, n_fft//2+1). Cached as NUMPY — caching

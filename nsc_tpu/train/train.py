@@ -129,9 +129,11 @@ def make_train_step(
         l_mel = spectral.mel_loss(
             recon, batch, sample_rate=cfg.sample_rate,
             n_fft=tcfg.mel_fft_size, hop=tcfg.mel_fft_size // 4,
-            n_mels=tcfg.mel_bins,
+            n_mels=tcfg.mel_bins, backend=tcfg.stft_backend,
         )
-        l_stft = spectral.multi_res_stft_loss(recon, batch, mrstft_cfg)
+        l_stft = spectral.multi_res_stft_loss(
+            recon, batch, mrstft_cfg, backend=tcfg.stft_backend
+        )
         total = (
             tcfg.weight_l1_time * l_time
             + tcfg.weight_mel * l_mel
