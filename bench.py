@@ -31,13 +31,15 @@ def main() -> None:
     # Backends picked by measurement (docs/PERFORMANCE.md): native XLA convs
     # beat the matmul reformulations end-to-end (stacked pays HBM
     # transposes); fused Pallas RVQ for the quantizer; polynomial-sine snake
-    # (5e-6 max activation deviation) for the serving path — XLA's precise
+    # (8e-5 max activation deviation, ~100x under bf16 resolution) for the
+    # serving path — XLA's precise
     # sin was 78% of runtime.
     cfg = dataclasses.replace(
         get_config("base"),
         compute_dtype="bfloat16",
         rvq_backend="pallas",
         activation="snake_fast",
+        unit_backend="auto",  # CT-layout fused stage kernel (r2: 1450->2900x)
     )
     model, params, rvq = init_codec(jax.random.PRNGKey(0), cfg)
 

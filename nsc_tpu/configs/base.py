@@ -64,8 +64,10 @@ class CodecConfig:
     # RVQ lowering: "xla" scan (parity reference) | "pallas" fused
     # VMEM-resident kernel (index-bit-exact; auto-fallback off-TPU)
     rvq_backend: str = "xla"
-    # residual-unit stack: "reference" per-op | "pallas_fused" whole-stage
-    # VMEM kernel (float-tolerance equal; inference path; snake only)
+    # residual-unit stack: "reference" per-op | "pallas_ct" whole-stage
+    # channels-on-sublanes VMEM kernel (float-tolerance equal; serving path;
+    # 2.5x faster at stage-1 width) | "auto" (= pallas_ct where supported) |
+    # "pallas_fused" ((T, C) lane-padded r1 variant, kept for comparison)
     unit_backend: str = "reference"
     # inference quantization: "none" | "int8" (W8A8 dynamic, ops/quant.py)
     quant: str = "none"

@@ -65,27 +65,55 @@ def _conv_transpose(
     return C.conv_transpose1d(x, p, stride=stride, causal=cfg.causal)
 
 
+def _act(cfg: CodecConfig, x: jax.Array, p) -> jax.Array:
+    """Standalone activation sites (down_act / up_act / final_act): plain
+    XLA on purpose. Both "optimizations" were measured SLOWER end-to-end
+    (docs/PERFORMANCE.md r2): a standalone CT Pallas snake pass costs an
+    extra HBM round trip + layout copies (+32 ms), and fusing these as the
+    unit-stack kernel's tail costs +10 ms because the XLA snake here doubles
+    as a free layout converter between the kernel's {2,1,0} output and the
+    strided conv's preferred {0,2,1} input — fused away, that conversion
+    becomes a raw full-tensor copy."""
+    return C.activation(cfg.activation, x, p)
+
+
 def _unit_stack(
     cfg: CodecConfig, h: jax.Array, units, padding: str
 ) -> jax.Array:
     """All residual units of one stage; whole-stage Pallas kernel when
     enabled (memory-bound ops fused into one VMEM pass).
 
-    unit_backend "auto" fuses only wide stages (C >= 128), where the
-    kernel's per-tap matmuls run near MXU peak and activations overlap the
-    matmuls — measured faster than XLA there; narrow stages stay on XLA's
-    conv lowering, which wins at small C (docs/PERFORMANCE.md)."""
+    unit_backend:
+      "reference"    — per-op XLA (parity default; clean VJPs for training).
+      "pallas_ct"    — channels-on-sublanes fused stage kernel: 2.5x faster
+        than XLA at stage-1 size (38 vs 96 ms at bench scale) because every
+        op runs full-lane and the conv<->fusion layout flips XLA inserts
+        around the snake polynomial never happen (docs/PERFORMANCE.md r2).
+      "auto"         — pallas_ct wherever supported (serving default path).
+      "pallas_fused" — the (T, C) lane-padded variant (kept for comparison;
+        loses at narrow C — docs/PERFORMANCE.md r1)."""
     c = h.shape[-1]
-    use_fused = (
-        cfg.unit_backend == "pallas_fused"
-        or (cfg.unit_backend == "auto" and c >= 128)
-    )
+    snakeish = cfg.activation in ("snake", "snake_fast")
+    on_tpu = jax.default_backend() == "tpu"
+    min_c = 16 if h.dtype == jnp.bfloat16 else 8
+    ct_ok = c >= min_c and c % min_c == 0
     if (
-        use_fused
-        and cfg.activation in ("snake", "snake_fast")
-        and padding == "causal"
-        and cfg.quant == "none"
-        and jax.default_backend() == "tpu"
+        (cfg.unit_backend == "pallas_ct" or cfg.unit_backend == "auto")
+        and ct_ok and snakeish and padding == "causal"
+        and cfg.quant == "none" and on_tpu
+    ):
+        from nsc_tpu.ops.pallas import residual_stack as RS
+
+        packed = RS.pack_stage_params(units, cfg)
+        out = RS.residual_stack_ct_pallas(
+            jnp.swapaxes(h, 1, 2), *packed, dilations=tuple(cfg.dilations),
+            fast_act=(cfg.activation == "snake_fast"),
+        )
+        return jnp.swapaxes(out, 1, 2)
+    if (
+        cfg.unit_backend == "pallas_fused"
+        and snakeish and padding == "causal"
+        and cfg.quant == "none" and on_tpu
     ):
         from nsc_tpu.ops.pallas import residual_stack as RS
 
@@ -186,9 +214,9 @@ def apply_encoder(p: Params, x: jax.Array, cfg: CodecConfig) -> jax.Array:
     h = _conv(cfg, x, p["stem"], padding=pad)
     for stage, stride in zip(p["stages"], cfg.strides):
         h = _unit_stack(cfg, h, stage["units"], pad)
-        h = C.activation(cfg.activation, h, stage["down_act"])
+        h = _act(cfg, h, stage["down_act"])
         h = _conv(cfg, h, stage["down"], stride=stride, padding=pad)
-    h = C.activation(cfg.activation, h, p["final_act"])
+    h = _act(cfg, h, p["final_act"])
     return _conv(cfg, h, p["final"], padding=pad)
 
 
@@ -235,9 +263,9 @@ def apply_decoder(p: Params, z: jax.Array, cfg: CodecConfig) -> jax.Array:
     pad = "causal" if cfg.causal else "same"
     h = _conv(cfg, z, p["stem"], padding=pad)
     for stage, stride in zip(p["stages"], reversed(cfg.strides)):
-        h = C.activation(cfg.activation, h, stage["up_act"])
+        h = _act(cfg, h, stage["up_act"])
         h = _conv_transpose(cfg, h, stage["up"], stride=stride)
         h = _unit_stack(cfg, h, stage["units"], pad)
-    h = C.activation(cfg.activation, h, p["final_act"])
+    h = _act(cfg, h, p["final_act"])
     h = _conv(cfg, h, p["final"], padding=pad)
     return jnp.tanh(h)

@@ -203,18 +203,29 @@ def fast_sin(t: jax.Array) -> jax.Array:
     return (sign * p).astype(t.dtype)
 
 
+# Chebyshev-node fit of sin^2(sqrt(u))/u, u in [0, (pi/2)^2]; u*Q3(u) has
+# max abs error 8.1e-5 over all reals after reduction — ~100x below bf16
+# resolution (the activation tensors' dtype on the serving path), verified
+# in f32 Horner arithmetic over +-100 (tests/unit/test_fast_sin.py).
+_SIN_SQ_C3 = -0.00254553
+_SIN_SQ_C2 = 0.04350543
+_SIN_SQ_C1 = -0.33287596
+_SIN_SQ_C0 = 0.99996482
+
+
 def _sin_sq_fast(t: jax.Array) -> jax.Array:
-    """sin^2(t) via range reduction WITHOUT sign handling: sin^2 is
-    pi-periodic and even in the reduced argument, so the parity/sign chain
-    of fast_sin is unnecessary. ~9 VPU ops."""
+    """sin^2(t) as a direct EVEN polynomial u*Q(u), u = reduced(t)^2.
+
+    sin^2 is pi-periodic and even in the reduced argument, so no sign/parity
+    chain is needed; fitting sin^2 directly (rather than sin, then squaring)
+    drops two more VPU ops — the snake sites are ALU-bound at the VPU's
+    measured ~0.6 T ops/s (docs/PERFORMANCE.md), so op count is wall time.
+    8 VPU ops total."""
     f = t.astype(jnp.float32)
     r = f - jnp.round(f * (1.0 / np.pi)) * np.pi  # r in [-pi/2, pi/2]
-    r2 = r * r
-    p = r * (
-        1.0
-        + r2 * (-1.0 / 6.0 + r2 * (1.0 / 120.0 + r2 * (-1.0 / 5040.0 + r2 * (1.0 / 362880.0))))
-    )
-    return (p * p).astype(t.dtype)
+    u = r * r
+    q = _SIN_SQ_C0 + u * (_SIN_SQ_C1 + u * (_SIN_SQ_C2 + u * _SIN_SQ_C3))
+    return (u * q).astype(t.dtype)
 
 
 def snake_fast(x: jax.Array, params: Params) -> jax.Array:

@@ -42,17 +42,15 @@ def _snake(x, alpha, eps=1e-9):
 
 
 def _snake_fast(x, alpha, eps=1e-9):
-    """Polynomial sin^2 variant (matches ops.conv.snake_fast)."""
+    """Polynomial sin^2 variant (same formula as ops.conv.snake_fast)."""
     import numpy as np
+    from nsc_tpu.ops.conv import _SIN_SQ_C0, _SIN_SQ_C1, _SIN_SQ_C2, _SIN_SQ_C3
 
     t = (alpha * x).astype(jnp.float32)
     r = t - jnp.round(t * (1.0 / np.pi)) * np.pi
-    r2 = r * r
-    p = r * (
-        1.0
-        + r2 * (-1.0 / 6.0 + r2 * (1.0 / 120.0 + r2 * (-1.0 / 5040.0 + r2 * (1.0 / 362880.0))))
-    )
-    return x + ((p * p) / (alpha.astype(jnp.float32) + eps)).astype(x.dtype)
+    u = r * r
+    q = _SIN_SQ_C0 + u * (_SIN_SQ_C1 + u * (_SIN_SQ_C2 + u * _SIN_SQ_C3))
+    return x + ((u * q) / (alpha.astype(jnp.float32) + eps)).astype(x.dtype)
 
 
 def _stack_kernel(
@@ -194,3 +192,169 @@ def pack_stage_params(units, cfg) -> tuple:
     b2 = jnp.stack([u["conv2"]["b"] for u in units])
     a2 = jnp.stack([u["act2"]["alpha"] for u in units])
     return w1, b1, a1, w2, b2, a2
+
+
+# ---------------------------------------------------------------------------
+# CT-layout variant (round 2)
+# ---------------------------------------------------------------------------
+#
+# The (T, C)-layout kernel above must lane-pad C to 128 (4x DMA + ALU waste at
+# C=32), which is why it measured 1.8x SLOWER than XLA (docs/PERFORMANCE.md).
+# This variant keeps channels on SUBLANES and time on LANES ((B, C, T)), so
+# every op runs at full lane utilization for any C >= 8:
+#
+#   * snake: (C, 1) alpha broadcast over T lanes — full-rate VPU.
+#   * k3 dilated conv: 3 static-lane-shifted (Cin, Cout)^T x (Cin, L) MXU
+#     matmuls (same contraction XLA's conv uses, shifted views instead of
+#     im2col).
+#   * XLA's conv<->fusion layout flips (the {0,2,1}<->{1,2,0} copies that
+#     cost ~10 ms per snake sandwich at stage-1 size — docs/PERFORMANCE.md
+#     round-2 notes) never happen: the whole stage is one custom call.
+#
+# Halos: host-side tile gather with left halo (zero-padded => causal), the
+# same pattern as ops/pallas/stft.py; duplication ~(1 + halo/tile) ~= 1.06x.
+
+TILE_T_CT = 8192
+
+
+def _snake_ct(x, alpha_col, eps=1e-9):
+    s = jnp.sin(alpha_col * x)
+    return x + s * s / (alpha_col + eps)
+
+
+def _snake_fast_ct(x, alpha_col, eps=1e-9):
+    import numpy as np
+    from nsc_tpu.ops.conv import _SIN_SQ_C0, _SIN_SQ_C1, _SIN_SQ_C2, _SIN_SQ_C3
+
+    f = (alpha_col * x).astype(jnp.float32)
+    r = f - jnp.round(f * (1.0 / np.pi)) * np.pi
+    u = r * r
+    q = _SIN_SQ_C0 + u * (_SIN_SQ_C1 + u * (_SIN_SQ_C2 + u * _SIN_SQ_C3))
+    inv = 1.0 / (alpha_col.astype(jnp.float32) + eps)
+    return x + ((u * q) * inv).astype(x.dtype)
+
+
+def _stack_ct_kernel(
+    seg_ref, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref, out_ref,
+    *, dilations, halo, tile_t, fast_act,
+):
+    act = _snake_fast_ct if fast_act else _snake_ct
+    jt = pl.program_id(1)
+    buf = seg_ref[0, 0]  # (C, halo + tile_t)
+    off = 0
+    for u, d in enumerate(dilations):
+        length = halo + tile_t - off
+        a1 = a1_ref[:, pl.ds(u, 1)]  # (C, 1) columns — lane-broadcast
+        a2 = a2_ref[:, pl.ds(u, 1)]
+        bi1 = b1_ref[:, pl.ds(u, 1)]
+        bi2 = b2_ref[:, pl.ds(u, 1)]
+        a1v = act(buf, a1)
+        dn = (((0,), (0,)), ((), ()))  # contract Cin (sublanes)
+        y = jax.lax.dot_general(
+            w1_ref[u, 0], a1v[:, 0 : length - 2 * d], dn,
+            preferred_element_type=jnp.float32,
+        )
+        y += jax.lax.dot_general(
+            w1_ref[u, 1], a1v[:, d : length - d], dn,
+            preferred_element_type=jnp.float32,
+        )
+        y += jax.lax.dot_general(
+            w1_ref[u, 2], a1v[:, 2 * d : length], dn,
+            preferred_element_type=jnp.float32,
+        )
+        y = (y + bi1.astype(jnp.float32)).astype(buf.dtype)
+        a2v = act(y, a2)
+        z = jax.lax.dot_general(
+            w2_ref[u], a2v, dn, preferred_element_type=jnp.float32
+        )
+        z = (z + bi2.astype(jnp.float32)).astype(buf.dtype)
+        buf = buf[:, 2 * d : length] + z
+        off += 2 * d
+        # reference semantics: remaining halo lanes of tile 0 are t < 0 and
+        # must stay zero or later taps see bias ripple the reference lacks
+        rem = halo - off
+        if rem > 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, buf.shape, 1)
+            keep = (col >= rem) | (jt > 0)
+            buf = jnp.where(keep, buf, 0)
+    surplus = halo - off
+    out_ref[0] = buf[:, surplus:] if surplus else buf
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dilations", "interpret", "tile_t", "fast_act")
+)
+def residual_stack_ct_pallas(
+    x: jax.Array,   # (B, C, T) — channels-on-sublanes layout
+    w1: jax.Array,  # (U, 3, Cin, Cout) materialized conv weights
+    b1: jax.Array,  # (U, C)
+    a1: jax.Array,  # (U, C)
+    w2: jax.Array,  # (U, Cin, Cout)
+    b2: jax.Array,  # (U, C)
+    a2: jax.Array,  # (U, C)
+    *,
+    dilations: tuple,
+    interpret: bool = False,
+    tile_t: int | None = None,
+    fast_act: bool = False,
+) -> jax.Array:
+    """x (B, C, T) -> (B, C, T): full residual-unit stack of one stage.
+
+    NOTE (measured, r2): fusing the stage's trailing activation (down_act/
+    up_act) into this kernel is a net LOSS (+10 ms end-to-end) — the XLA
+    standalone snake that follows doubles as a free layout converter between
+    this kernel's {2,1,0} output and the strided conv's preferred {0,2,1}
+    input; fused away, that conversion becomes a raw full-tensor copy. A
+    standalone CT elementwise snake pass loses even more (+32 ms: extra HBM
+    round trip). Hence the kernel ends at the last residual add."""
+    import numpy as np
+
+    b, c, t = x.shape
+    halo = sum(2 * d for d in dilations)
+    halo_pad = ((halo + 127) // 128) * 128  # lane alignment
+    if tile_t is None:
+        # ~6 live (C, tile) f32 buffers; keep them well under the VMEM scope
+        tile_t = max(512, min(TILE_T_CT, (1 << 19) // c // 128 * 128))
+    pad_t = (-t) % tile_t
+    t_tot = t + pad_t
+    n_tiles = t_tot // tile_t
+    seg_len = halo_pad + tile_t
+
+    # left halo_pad zeros == causal padding; right pad to the tile grid
+    xp = jnp.pad(x, ((0, 0), (0, 0), (halo_pad, pad_t)))
+    seg_idx = (
+        np.arange(n_tiles)[:, None] * tile_t
+        + np.arange(seg_len)[None, :]
+    )
+    segs = jnp.moveaxis(xp[:, :, seg_idx], 2, 1)  # (B, n_tiles, C, seg_len)
+
+    # params transposed so per-unit columns broadcast over lanes
+    a1t, a2t = a1.T, a2.T  # (C, U)
+    b1t, b2t = b1.T, b2.T
+
+    out = pl.pallas_call(
+        functools.partial(
+            _stack_ct_kernel, dilations=dilations, halo=halo_pad,
+            tile_t=tile_t, fast_act=fast_act,
+        ),
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, c, seg_len), lambda ib, jt: (ib, jt, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(w1.shape, lambda ib, jt: (0,) * 4, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1t.shape, lambda ib, jt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(a1t.shape, lambda ib, jt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, lambda ib, jt: (0,) * 3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2t.shape, lambda ib, jt: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(a2t.shape, lambda ib, jt: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, tile_t), lambda ib, jt: (ib, 0, jt),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c, t_tot), x.dtype),
+        interpret=interpret,
+    )(segs, w1, b1t, a1t, w2, b2t, a2t)
+    return out[:, :, :t]

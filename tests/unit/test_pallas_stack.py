@@ -87,3 +87,67 @@ def test_fused_stack_single_dilation():
     packed = RS.pack_stage_params(units, cfg)
     got = RS.residual_stack_pallas(x, *packed, dilations=(1,), interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_ct_stack_matches_reference():
+    """CT-layout fused stage kernel (channels-on-sublanes; the serving-path
+    default via unit_backend='auto'): float-tolerance equal to the per-op
+    reference for both activations, across tile boundaries and batch."""
+    import dataclasses
+
+    from nsc_tpu.configs import get_config
+    from nsc_tpu.models import seanet
+    from nsc_tpu.ops.pallas import residual_stack as RS
+
+    for act in ("snake_fast", "snake"):
+        cfg = dataclasses.replace(get_config("base"), activation=act)
+        Cc, T, B = 32, 4096, 2
+        units = [
+            seanet._init_residual_unit(jax.random.PRNGKey(i), Cc, 3, cfg)
+            for i in range(3)
+        ]
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(B, T, Cc).astype(np.float32) * 0.5
+        )
+        h = x
+        for unit, dil in zip(units, cfg.dilations):
+            h = seanet._apply_residual_unit(unit, h, dil, cfg, "causal")
+        ref = np.asarray(h)
+        packed = RS.pack_stage_params(units, cfg)
+        out = RS.residual_stack_ct_pallas(
+            jnp.swapaxes(x, 1, 2), *packed, dilations=tuple(cfg.dilations),
+            interpret=True, fast_act=(act == "snake_fast"), tile_t=1024,
+        )
+        got = np.asarray(jnp.swapaxes(out, 1, 2))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ct_stack_tile_boundary_and_padding():
+    """Lengths that don't divide the tile, and the zero-halo of tile 0."""
+    import dataclasses
+
+    from nsc_tpu.configs import get_config
+    from nsc_tpu.models import seanet
+    from nsc_tpu.ops.pallas import residual_stack as RS
+
+    cfg = dataclasses.replace(get_config("base"), activation="snake_fast")
+    Cc = 16
+    units = [
+        seanet._init_residual_unit(jax.random.PRNGKey(i), Cc, 3, cfg)
+        for i in range(3)
+    ]
+    x = jnp.asarray(
+        np.random.RandomState(1).randn(1, 1000, Cc).astype(np.float32)
+    )
+    h = x
+    for unit, dil in zip(units, cfg.dilations):
+        h = seanet._apply_residual_unit(unit, h, dil, cfg, "causal")
+    packed = RS.pack_stage_params(units, cfg)
+    out = RS.residual_stack_ct_pallas(
+        jnp.swapaxes(x, 1, 2), *packed, dilations=tuple(cfg.dilations),
+        interpret=True, fast_act=True, tile_t=256,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 1, 2)), np.asarray(h),
+        rtol=1e-4, atol=1e-5,
+    )
