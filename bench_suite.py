@@ -6,7 +6,10 @@
 2. Batched inference: 64 x 10 s, full RVQ depth + streaming chunked encode.
 3. Training step (codec-only) on a speech-like batch.
 4. Full GAN training step, data-parallel over the attached mesh.
-5. Bitrate sweep with quality scoring (PESQ proxy) per depth.
+5. Bitrate sweep on the trained checkpoint, scored with both perceptual
+   proxies (PESQ proxy + STOI proxy) per depth.
+6. On-chip kernel exactness: compiled Pallas RVQ vs XLA index equality,
+   CT fused-stage float tolerance, Pallas STFT bit-exactness.
 
 Each entry reports wall-clock with compile excluded and a relay-safe
 completion barrier (see CLAUDE.md). bench.py remains the driver's one-line
@@ -77,7 +80,8 @@ def config2_batched_and_streaming():
     from nsc_tpu import streaming
 
     cfg = dataclasses.replace(
-        get_config("base"), compute_dtype="bfloat16", rvq_backend="pallas"
+        get_config("base"), compute_dtype="bfloat16", rvq_backend="pallas",
+        activation="snake_fast", unit_backend="auto",
     )
     model, params, rvq = init_codec(jax.random.PRNGKey(0), cfg)
     wav = jnp.asarray(
@@ -89,8 +93,9 @@ def config2_batched_and_streaming():
 
     # streaming chunked encode: 64-way stream, 0.5 s chunks
     enc = streaming.StreamingEncoder(model, params, rvq)
-    chunk = np.asarray(wav[:, :8000])
+    chunk = np.asarray(wav[:, :8000].astype(jnp.float32))
     enc.push(chunk)  # compile
+    enc.push(chunk)  # steady state (state dtype settled)
     s = time.perf_counter()
     n_chunks = 8
     for i in range(n_chunks):
@@ -147,23 +152,102 @@ def config34_train_steps(use_gan: bool):
 
 
 def config5_sweep():
+    """Bitrate sweep on the TRAINED small checkpoint (VERDICT r1 weak #6:
+    random-init weights gave garbage quality rows), scored with both
+    perceptual proxies + index self-match."""
+    import os
+
     import nsc_tpu
     from nsc_tpu.eval.sweep import bitrate_sweep
+    from nsc_tpu.train.data import SyntheticSource
 
-    bundle = nsc_tpu.load_model("base")
-    wavs = (np.random.RandomState(0).randn(2, 160000) * 0.1).astype(np.float32)
-    rows = bitrate_sweep(bundle, wavs, n_q_list=[1, 2, 4, 8, 16])
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "artifacts", "small_synthetic_10k")
+    bundle = nsc_tpu.load_model("small", checkpoint=ckpt)
+    # eval on the training distribution (synthetic speech-like) — quality
+    # numbers are meaningful for a checkpoint trained on it
+    wavs = next(SyntheticSource(16000, 7).batches(2, 160000))
+    rows = bitrate_sweep(bundle, wavs)
     return {
         "config": 5,
-        "desc": "bitrate sweep, base config (random-init weights)",
+        "desc": "bitrate sweep, small config, trained ckpt (synthetic 10k)",
+        "checkpoint": "artifacts/small_synthetic_10k",
         "rows": rows,
     }
+
+
+def config6_kernel_exactness():
+    """On-chip (compiled, NOT interpret) kernel-vs-XLA checks (VERDICT r1
+    weak #3 / item 5): Pallas RVQ index bit-exactness at bench-scale shapes,
+    CT fused-stage float tolerance, Pallas STFT bit-exactness."""
+    from nsc_tpu.configs import get_config
+    from nsc_tpu.models import seanet
+    from nsc_tpu.models.codec import init_codec
+    from nsc_tpu.ops import rvq as rvq_ops
+    from nsc_tpu.ops import stft as stft_ops
+    from nsc_tpu.ops.pallas import residual_stack as RS
+    from nsc_tpu.ops.pallas import rvq_argmin as PK
+    from nsc_tpu.ops.pallas.stft import stft_magnitude_pallas
+
+    if jax.default_backend() != "tpu":
+        return {"config": 6, "error": "requires a TPU backend"}
+    out = {"config": 6, "desc": "on-chip Pallas-vs-XLA kernel exactness"}
+
+    # RVQ: bench-scale (base config, 64 x 10 s -> 32000 frames x 128 dims)
+    cfg = get_config("base")
+    rng = np.random.RandomState(0)
+    books = jnp.asarray(rng.randn(cfg.num_quantizers, cfg.codebook_size,
+                                  cfg.codebook_dim).astype(np.float32))
+    r = jnp.asarray(rng.randn(32000, cfg.codebook_dim).astype(np.float32))
+    state = {"codebooks": books}
+    idx_p = np.asarray(PK.quantize_pallas(books, r))
+    def xla_q(books, r):
+        def step(residual, cb):
+            i = rvq_ops._nearest(residual, cb)
+            return residual - cb[i], i
+        _, idxs = jax.lax.scan(step, r, books)
+        return jnp.moveaxis(idxs, 0, -1)
+    idx_x = np.asarray(jax.jit(xla_q)(books, r))
+    out["pallas_rvq_bit_exact"] = bool(np.array_equal(idx_p, idx_x))
+
+    # CT fused stage vs reference lowering (bf16 serving dtype)
+    import dataclasses as dc
+    ccfg = dc.replace(cfg, compute_dtype="bfloat16", activation="snake_fast")
+    units = [seanet._init_residual_unit(jax.random.PRNGKey(i), 32, 3, ccfg)
+             for i in range(3)]
+    x = jnp.asarray(rng.randn(4, 32768, 32), jnp.bfloat16)
+    h = x
+    for unit, dil in zip(units, ccfg.dilations):
+        h = seanet._apply_residual_unit(unit, h, dil, ccfg, "causal")
+    ref = np.asarray(h.astype(jnp.float32))
+    packed = RS.pack_stage_params(units, ccfg)
+    got = RS.residual_stack_ct_pallas(
+        jnp.swapaxes(x, 1, 2), *packed, dilations=tuple(ccfg.dilations),
+        fast_act=True,
+    )
+    got = np.asarray(jnp.swapaxes(got, 1, 2).astype(jnp.float32))
+    diff = float(np.max(np.abs(got - ref)))
+    out["ct_stack_max_abs_diff"] = diff
+    out["ct_stack_float_tolerance_ok"] = bool(diff < 0.25)  # few bf16 ulp at |x|~8
+
+    # STFT kernel vs XLA matmul-DFT at every loss resolution
+    sx = jnp.asarray(rng.randn(4, 16000).astype(np.float32) * 0.3)
+    stft_exact = True
+    for n_fft in (2048, 1024, 512, 256, 128):
+        a = np.asarray(stft_magnitude_pallas(sx, n_fft, n_fft // 4))
+        b = np.asarray(jax.jit(
+            lambda v, n=n_fft: stft_ops.stft_magnitude(
+                v, n, n // 4, use_matmul_dft=True)
+        )(sx))
+        stft_exact &= bool(np.array_equal(a, b))
+    out["pallas_stft_bit_exact"] = bool(stft_exact)
+    return out
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="bench_suite.json")
-    p.add_argument("--configs", default="1,2,3,4,5")
+    p.add_argument("--configs", default="1,2,3,4,5,6")
     args = p.parse_args()
 
     from nsc_tpu.utils.cache import enable_compilation_cache
@@ -177,6 +261,7 @@ def main():
         3: lambda: config34_train_steps(False),
         4: lambda: config34_train_steps(True),
         5: config5_sweep,
+        6: config6_kernel_exactness,
     }
     # merge with an existing results file so partial reruns don't clobber
     try:

@@ -93,6 +93,71 @@ def pesq_proxy(ref, deg, sample_rate: int = 16_000) -> float:
     return float(1.0 + 3.5 / (1.0 + np.exp(-(s - 12.0) / 6.0)))
 
 
+def stoi_proxy(
+    ref, deg, sample_rate: int = 16_000, n_fft: int = 512,
+    seg_frames: int = 30, beta_db: float = -15.0,
+) -> float:
+    """Short-time objective intelligibility PROXY in ~[0, 1] (higher=better).
+
+    *** PROXY — not the Taal et al. STOI reference implementation. ***
+    Same construction, differently built from the PESQ proxy (VERDICT r1
+    item 9: a second, independently-constructed perceptual axis):
+    1/3-octave band envelopes from the framed STFT, short-time segments
+    (~0.5 s), degraded envelope normalized + clipped at +beta dB, then
+    band/segment-wise Pearson correlation, averaged. Tracks intelligibility-
+    style degradations (temporal envelope damage) that an SNR-family metric
+    under-weights.
+    """
+    import jax.numpy as jnp
+
+    hop = n_fft // 2
+    # matmul-DFT magnitudes: jnp.fft's complex rfft is UNIMPLEMENTED on the
+    # TPU backend here; the MXU basis-matmul path works everywhere
+    r = np.asarray(S.stft_magnitude(
+        jnp.asarray(_as2d(ref), jnp.float32), n_fft, hop, use_matmul_dft=True
+    ))
+    d = np.asarray(S.stft_magnitude(
+        jnp.asarray(_as2d(deg), jnp.float32), n_fft, hop, use_matmul_dft=True
+    ))
+    # 1/3-octave bands, 150 Hz .. ~4.3 kHz (15 bands)
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / sample_rate)
+    centers = 150.0 * 2.0 ** (np.arange(15) / 3.0)
+    lo, hi = centers / 2 ** (1 / 6), centers * 2 ** (1 / 6)
+    bands = (freqs[None, :] >= lo[:, None]) & (freqs[None, :] < hi[:, None])
+    bands = bands.astype(np.float64)  # (15, K)
+    # band envelopes: (N, frames, 15)
+    er = np.sqrt(np.einsum("nfk,bk->nfb", r.astype(np.float64) ** 2, bands) + 1e-12)
+    ed = np.sqrt(np.einsum("nfk,bk->nfb", d.astype(np.float64) ** 2, bands) + 1e-12)
+
+    n, frames, nb = er.shape
+    if frames < seg_frames:
+        seg_frames = frames
+    clip = 10.0 ** (-beta_db / 20.0)
+    scores = []
+    for s0 in range(0, frames - seg_frames + 1, seg_frames):
+        x = er[:, s0 : s0 + seg_frames, :]  # (N, M, B)
+        y = ed[:, s0 : s0 + seg_frames, :]
+        # normalize degraded to the clean segment's energy, clip upward dev.
+        alpha = np.sqrt(
+            np.sum(x**2, axis=1, keepdims=True)
+            / (np.sum(y**2, axis=1, keepdims=True) + 1e-12)
+        )
+        yn = np.minimum(y * alpha, x * clip)
+        xm = x - x.mean(axis=1, keepdims=True)
+        ym = yn - yn.mean(axis=1, keepdims=True)
+        num = np.sum(xm * ym, axis=1)
+        den = np.sqrt(np.sum(xm**2, axis=1) * np.sum(ym**2, axis=1)) + 1e-12
+        corr = num / den  # (N, B)
+        # weight by reference band energy: bands the clean signal doesn't
+        # occupy carry no intelligibility information (pure STOI averages
+        # uniformly but assumes broadband speech input)
+        w = np.sum(x**2, axis=1) + 1e-12  # (N, B)
+        scores.append(np.sum(corr * w, axis=-1) / np.sum(w, axis=-1))
+    if not scores:
+        return 0.0
+    return float(np.mean(np.stack(scores)))
+
+
 def codebook_match_rate(idx_a, idx_b) -> dict:
     """Fraction of identical indices, overall and per book (the
     BASELINE.json:2 parity metric)."""

@@ -44,6 +44,7 @@ def bitrate_sweep(
             "si_snr_db": quality.si_snr(wavs, recon),
             "mel_distance": quality.mel_distance(wavs, recon, cfg.sample_rate),
             "pesq_proxy": quality.pesq_proxy(wavs, recon, cfg.sample_rate),
+            "stoi_proxy": quality.stoi_proxy(wavs, recon, cfg.sample_rate),
         }
         if ref_idx is not None:
             row["index_match"] = quality.codebook_match_rate(
@@ -76,14 +77,15 @@ def main(argv=None) -> int:
     if args.json:
         print(json.dumps(rows))
     else:
-        print(f"{'n_q':>4} {'kbps':>7} {'SI-SNR':>8} {'melDist':>8} {'PESQ*':>6}")
+        print(f"{'n_q':>4} {'kbps':>7} {'SI-SNR':>8} {'melDist':>8} {'PESQ*':>6} {'STOI*':>6}")
         for r in rows:
             print(
                 f"{r['n_q']:>4} {r['bitrate_bps']/1000:>7.2f} "
                 f"{r['si_snr_db']:>8.2f} {r['mel_distance']:>8.3f} "
-                f"{r['pesq_proxy']:>6.2f}"
+                f"{r['pesq_proxy']:>6.2f} {r['stoi_proxy']:>6.3f}"
             )
-        print("(* PESQ proxy — fwSegSNR-based, not ITU-T P.862; see eval/quality.py)")
+        print("(* proxies — PESQ: fwSegSNR-based, not ITU-T P.862; STOI: "
+              "envelope-correlation, not Taal et al.; see eval/quality.py)")
     return 0
 
 

@@ -52,10 +52,14 @@ def _quantize_kernel(z_ref, cbt_ref, csq_ref, idx_ref, *, n_q: int):
 
     def body(q, r):
         # scores = ||c||^2 - 2 r.c  — (TM, K) entirely in VMEM
+        # precision=HIGHEST: Mosaic lowers f32 dots at DEFAULT (bf16-pass)
+        # precision otherwise — measured 0.13 max abs drift vs true f32 at
+        # these shapes, which broke on-chip index parity (bench_suite #6)
         scores = csq_ref[pl.ds(q, 1), :] - 2.0 * jax.lax.dot_general(
             r, cbt_ref[q],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         idx = jnp.argmin(scores, axis=-1).astype(jnp.int32)  # lowest-index ties
         onehot = (
@@ -67,6 +71,7 @@ def _quantize_kernel(z_ref, cbt_ref, csq_ref, idx_ref, *, n_q: int):
             onehot, cbt_ref[q],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # exact f32 codeword gather
         )
         idx_ref[:, pl.ds(q, 1)] = idx[:, None]
         return r - quant
@@ -123,6 +128,7 @@ def _dequantize_kernel(idx_ref, cbt_ref, out_ref, *, n_q: int):
             onehot, cbt_ref[q],
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # exact f32 codeword gather
         )
 
     out_ref[:] = jax.lax.fori_loop(

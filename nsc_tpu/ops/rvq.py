@@ -60,8 +60,13 @@ def _nearest(residual: jax.Array, codebook: jax.Array) -> jax.Array:
     r = residual.astype(jnp.float32)
     c = codebook.astype(jnp.float32)
     c_sq = jnp.sum(c * c, axis=-1)  # (K,)
+    # precision=HIGHEST: TPU's default matmul precision truncates f32 inputs
+    # to bf16 passes, which silently broke index parity between this path and
+    # the (true-f32) Pallas kernel on-chip (caught by bench_suite config 6 —
+    # interpret-mode CPU tests can't see it). The f32 contract is explicit.
     scores = c_sq[None, :] - 2.0 * jnp.dot(
-        r, c.T, preferred_element_type=jnp.float32
+        r, c.T, preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )  # (M, K)
     return jnp.argmin(scores, axis=-1).astype(jnp.int32)
 

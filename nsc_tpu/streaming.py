@@ -113,10 +113,10 @@ def conv_transpose1d_stream(
 # ---------------------------------------------------------------------------
 
 
-def _unit_init_state(p, n, dilation, cfg):
+def _unit_init_state(p, n, dilation, cfg, dtype=jnp.float32):
     return {
-        "conv1": conv1d_init_state(p["conv1"], n, dilation),
-        "conv2": conv1d_init_state(p["conv2"], n),
+        "conv1": conv1d_init_state(p["conv1"], n, dilation, dtype=dtype),
+        "conv2": conv1d_init_state(p["conv2"], n, dtype=dtype),
     }
 
 
@@ -128,21 +128,27 @@ def _unit_stream(p, st, x, dilation, cfg):
     return x + h, {"conv1": s1, "conv2": s2}
 
 
-def encoder_init_state(params, cfg: CodecConfig, n: int) -> State:
-    st: State = {"stem": conv1d_init_state(params["stem"], n)}
+def encoder_init_state(
+    params, cfg: CodecConfig, n: int, dtype=None
+) -> State:
+    # state dtype MUST match what the jitted step returns (the compute
+    # dtype), or the second push() triggers a full recompile — caught as a
+    # phantom 10x "first chunk" latency in bench_suite config 2
+    dt = jnp.dtype(cfg.compute_dtype) if dtype is None else dtype
+    st: State = {"stem": conv1d_init_state(params["stem"], n, dtype=dt)}
     stages = []
     for stage, _ in zip(params["stages"], cfg.strides):
         stages.append(
             {
                 "units": [
-                    _unit_init_state(u, n, d, cfg)
+                    _unit_init_state(u, n, d, cfg, dt)
                     for u, d in zip(stage["units"], cfg.dilations)
                 ],
-                "down": conv1d_init_state(stage["down"], n),
+                "down": conv1d_init_state(stage["down"], n, dtype=dt),
             }
         )
     st["stages"] = stages
-    st["final"] = conv1d_init_state(params["final"], n)
+    st["final"] = conv1d_init_state(params["final"], n, dtype=dt)
     return st
 
 
@@ -170,21 +176,26 @@ def encoder_stream(
 # ---------------------------------------------------------------------------
 
 
-def decoder_init_state(params, cfg: CodecConfig, n: int) -> State:
-    st: State = {"stem": conv1d_init_state(params["stem"], n)}
+def decoder_init_state(
+    params, cfg: CodecConfig, n: int, dtype=None
+) -> State:
+    dt = jnp.dtype(cfg.compute_dtype) if dtype is None else dtype
+    st: State = {"stem": conv1d_init_state(params["stem"], n, dtype=dt)}
     stages = []
     for stage, stride in zip(params["stages"], reversed(cfg.strides)):
         stages.append(
             {
-                "up": conv_transpose1d_init_state(stage["up"], n, stride),
+                "up": conv_transpose1d_init_state(
+                    stage["up"], n, stride, dtype=dt
+                ),
                 "units": [
-                    _unit_init_state(u, n, d, cfg)
+                    _unit_init_state(u, n, d, cfg, dt)
                     for u, d in zip(stage["units"], cfg.dilations)
                 ],
             }
         )
     st["stages"] = stages
-    st["final"] = conv1d_init_state(params["final"], n)
+    st["final"] = conv1d_init_state(params["final"], n, dtype=dt)
     return st
 
 

@@ -87,3 +87,24 @@ def test_eval_cli_json(capsys):
 
     rows = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rows) == 2 and rows[0]["n_q"] == 1
+
+
+def test_stoi_proxy_orders_degradations():
+    """Second perceptual proxy (VERDICT r1 item 9): identity ~1, mild noise
+    beats heavy noise, envelope destruction scores low."""
+    from nsc_tpu.eval import quality
+
+    rng = np.random.RandomState(0)
+    t = np.arange(32000) / 16000.0
+    # speech-like: AM-modulated harmonics
+    env = 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t))
+    ref = env * (
+        np.sin(2 * np.pi * 220 * t) + 0.5 * np.sin(2 * np.pi * 440 * t)
+    )
+    ident = quality.stoi_proxy(ref, ref)
+    mild = quality.stoi_proxy(ref, ref + 0.05 * rng.randn(ref.size))
+    heavy = quality.stoi_proxy(ref, ref + 0.8 * rng.randn(ref.size))
+    scrambled = quality.stoi_proxy(ref, rng.randn(ref.size))
+    assert ident > 0.99
+    assert ident >= mild > heavy > scrambled
+    assert scrambled < 0.6
