@@ -71,7 +71,7 @@ def _convT(sd, prefix: str) -> Dict[str, jnp.ndarray]:
 
 
 def _act(sd, prefix: str, cfg: CodecConfig):
-    if cfg.activation != "snake":
+    if cfg.activation not in ("snake", "snake_fast"):
         return None
     return {"alpha": jnp.asarray(_get(sd, f"{prefix}.alpha"))}
 

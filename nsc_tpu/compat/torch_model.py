@@ -74,11 +74,16 @@ class WNConvTranspose1d(nn.Module):
         norm = torch.sqrt((self.v * self.v).sum(dim=(0, 2), keepdim=True) + 1e-12)
         return self.v * (self.g / norm)
 
-    def forward(self, x, stride):
+    def forward(self, x, stride, causal=True):
         k = self.weight().shape[-1]
         y = F.conv_transpose1d(x, self.weight(), self.b, stride=stride)
         trim = k - stride
-        return y[..., :-trim] if trim > 0 else y
+        if trim <= 0:
+            return y
+        if causal:
+            return y[..., :-trim]
+        left = trim // 2
+        return y[..., left : left + x.shape[-1] * stride]
 
 
 class Snake(nn.Module):
@@ -92,13 +97,46 @@ class Snake(nn.Module):
         return x + s * s / (a + 1e-9)
 
 
+class SnakeFast(nn.Module):
+    """Torch twin of ops.conv.snake_fast: the IDENTICAL deg-3 even minimax
+    polynomial for sin^2, same op order, so f32 evaluation is bit-exact with
+    the JAX path (torch.round and jnp.round both round half-to-even) — the
+    serving-path activation is parity-tested, not just the exact-sine one."""
+
+    def __init__(self, channels):
+        super().__init__()
+        self.alpha = nn.Parameter(torch.ones(channels))
+
+    def forward(self, x):
+        from nsc_tpu.ops.conv import (
+            _SIN_SQ_C0, _SIN_SQ_C1, _SIN_SQ_C2, _SIN_SQ_C3,
+        )
+        import math
+
+        a = self.alpha[None, :, None]
+        inv = 1.0 / (a + 1e-9)  # multiply-by-reciprocal, same as the JAX op
+        f = (a * x).float()
+        r = f - torch.round(f * (1.0 / math.pi)) * math.pi
+        u = r * r
+        q = _SIN_SQ_C0 + u * (_SIN_SQ_C1 + u * (_SIN_SQ_C2 + u * _SIN_SQ_C3))
+        return x + (u * q) * inv
+
+
+def _make_act(ch, cfg: CodecConfig):
+    if cfg.activation == "snake":
+        return Snake(ch)
+    if cfg.activation == "snake_fast":
+        return SnakeFast(ch)
+    return nn.ELU()
+
+
 class ResidualUnit(nn.Module):
     def __init__(self, ch, kernel, dilation, cfg: CodecConfig):
         super().__init__()
         self.dilation = dilation
-        self.act1 = Snake(ch) if cfg.activation == "snake" else nn.ELU()
+        self.act1 = _make_act(ch, cfg)
         self.conv1 = WNConv1d(ch, ch, kernel)
-        self.act2 = Snake(ch) if cfg.activation == "snake" else nn.ELU()
+        self.act2 = _make_act(ch, cfg)
         self.conv2 = WNConv1d(ch, ch, 1)
         self.causal = cfg.causal
 
@@ -115,7 +153,7 @@ class _Stage(nn.Module):
         self.units = nn.ModuleList(
             [ResidualUnit(ch, cfg.residual_kernel, d, cfg) for d in cfg.dilations]
         )
-        self.down_act = Snake(ch) if cfg.activation == "snake" else nn.ELU()
+        self.down_act = _make_act(ch, cfg)
         self.down = WNConv1d(ch, 2 * ch, 2 * stride)
         self.causal = cfg.causal
 
@@ -137,7 +175,7 @@ class TorchEncoder(nn.Module):
             ]
         )
         fw = cfg.base_width * (2 ** len(cfg.strides))
-        self.final_act = Snake(fw) if cfg.activation == "snake" else nn.ELU()
+        self.final_act = _make_act(fw, cfg)
         self.final = WNConv1d(fw, cfg.latent_dim, cfg.last_kernel)
 
     def forward(self, x):
@@ -152,7 +190,8 @@ class _UpStage(nn.Module):
     def __init__(self, ch, stride, cfg: CodecConfig):
         super().__init__()
         self.stride = stride
-        self.up_act = Snake(ch) if cfg.activation == "snake" else nn.ELU()
+        self.causal = cfg.causal
+        self.up_act = _make_act(ch, cfg)
         self.up = WNConvTranspose1d(ch, ch // 2, 2 * stride)
         self.units = nn.ModuleList(
             [
@@ -162,7 +201,7 @@ class _UpStage(nn.Module):
         )
 
     def forward(self, x):
-        x = self.up(self.up_act(x), stride=self.stride)
+        x = self.up(self.up_act(x), stride=self.stride, causal=self.causal)
         for u in self.units:
             x = u(x)
         return x
@@ -180,9 +219,7 @@ class TorchDecoder(nn.Module):
                 for i, s in enumerate(reversed(cfg.strides))
             ]
         )
-        self.final_act = (
-            Snake(cfg.base_width) if cfg.activation == "snake" else nn.ELU()
-        )
+        self.final_act = _make_act(cfg.base_width, cfg)
         self.final = WNConv1d(cfg.base_width, cfg.channels, cfg.stem_kernel)
 
     def forward(self, z):

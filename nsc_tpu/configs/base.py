@@ -200,6 +200,14 @@ def _small_factorized() -> CodecConfig:
     )
 
 
+@register_config("base_noncausal")
+def _base_noncausal() -> CodecConfig:
+    """Non-causal (offline, higher-quality) variant: symmetric 'same'
+    padding gives every frame two-sided context. No streaming (streaming.py
+    rejects non-causal configs); use for archival/offline compression."""
+    return CodecConfig(name="base_noncausal", causal=False)
+
+
 @register_config("tiny_test")
 def _tiny_test() -> CodecConfig:
     """CPU-fast config for unit/integration tests only."""

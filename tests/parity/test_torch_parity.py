@@ -127,3 +127,40 @@ def test_factorized_index_parity():
         wav_t = tm.decode(torch.from_numpy(idx_t)).numpy()
     wav_j = np.asarray(model.decode(params, rvq, idx))
     np.testing.assert_allclose(wav_j, wav_t, rtol=1e-3, atol=1e-4)
+
+
+def test_snake_fast_index_parity():
+    """The SERVING activation (snake_fast, the bench path) is parity-tested
+    too, not just the exact-sine one: the twin evaluates the identical
+    polynomial in the same op order, so f32 indices are bit-exact."""
+    import dataclasses
+
+    cfg = dataclasses.replace(get_config("tiny_test"), activation="snake_fast")
+    tm = TorchCodec(cfg).eval()
+    params, rvq = convert_torch_checkpoint(tm.state_dict(), cfg)
+    model = NeuralSpeechCodec(cfg)
+    wav = (np.random.RandomState(3).randn(2, 48 * cfg.hop) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        idx_t = tm.encode(torch.from_numpy(wav)).numpy()
+    idx_j = np.asarray(model.encode(params, rvq, jnp.asarray(wav)))
+    np.testing.assert_array_equal(idx_j, idx_t)
+
+
+def test_noncausal_index_parity():
+    """Non-causal ('same'-padded) variant: encoder indices AND decoded
+    waveforms parity, covering the split-trim transposed convs."""
+    import dataclasses
+
+    cfg = dataclasses.replace(get_config("tiny_test"), causal=False)
+    tm = TorchCodec(cfg).eval()
+    params, rvq = convert_torch_checkpoint(tm.state_dict(), cfg)
+    model = NeuralSpeechCodec(cfg)
+    wav = (np.random.RandomState(4).randn(2, 32 * cfg.hop) * 0.3).astype(np.float32)
+    with torch.no_grad():
+        idx_t = tm.encode(torch.from_numpy(wav)).numpy()
+    idx_j = np.asarray(model.encode(params, rvq, jnp.asarray(wav)))
+    np.testing.assert_array_equal(idx_j, idx_t)
+    with torch.no_grad():
+        wav_t = tm.decode(torch.from_numpy(idx_t)).numpy()
+    wav_j = np.asarray(model.decode(params, rvq, jnp.asarray(idx_t)))
+    np.testing.assert_allclose(wav_j, wav_t, rtol=1e-3, atol=1e-4)
