@@ -17,7 +17,10 @@ from typing import Optional
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(__file__), "..", "native", "bitpack.c")
+_SRCS = [
+    os.path.join(os.path.dirname(__file__), "..", "native", "bitpack.c"),
+    os.path.join(os.path.dirname(__file__), "..", "native", "entropy.c"),
+]
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "native", "libnscbitpack.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -25,16 +28,18 @@ _tried = False
 
 
 def _compile() -> bool:
-    src = os.path.abspath(_SRC)
+    srcs = [os.path.abspath(p) for p in _SRCS]
     out = os.path.abspath(_LIB_PATH)
-    if not os.path.exists(src):
+    if not all(os.path.exists(p) for p in srcs):
         return False
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    if os.path.exists(out) and os.path.getmtime(out) >= max(
+        os.path.getmtime(p) for p in srcs
+    ):
         return True
     for cc in ("cc", "gcc", "clang"):
         try:
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", "-o", out, src],
+                [cc, "-O3", "-shared", "-fPIC", "-o", out, *srcs],
                 check=True, capture_output=True, timeout=120,
             )
             return True
@@ -62,6 +67,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ("nsc_unpack_frames", ctypes.c_long,
              [ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
               ctypes.c_int, ctypes.c_void_p]),
+            ("nsc_ac_encode_plane", ctypes.c_long,
+             [ctypes.c_void_p, ctypes.c_long, ctypes.c_int, ctypes.c_long,
+              ctypes.c_long, ctypes.c_void_p, ctypes.c_long]),
+            ("nsc_ac_decode_plane", ctypes.c_long,
+             [ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+              ctypes.c_long, ctypes.c_long, ctypes.c_void_p]),
         ]:
             fn = getattr(lib, name)
             fn.restype = restype
@@ -106,3 +117,41 @@ def unpack_frames(
     if n < 0:
         return None
     return idx
+
+
+def ac_encode_plane(
+    symbols: np.ndarray, k: int, rebuild: int, rescale_at: int
+) -> Optional[bytes]:
+    """Adaptive arithmetic coding of one plane (byte-identical to
+    nsc_tpu.entropy.encode_plane); None if the native library is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    syms = np.ascontiguousarray(symbols, dtype=np.int32)
+    # worst case: coded size can exceed the fixed-width bound only by the
+    # model-adaptation overhead; 4 bytes/symbol + slack is a generous cap
+    out = np.empty(syms.size * 4 + 64, np.uint8)
+    n = lib.nsc_ac_encode_plane(
+        syms.ctypes.data, syms.size, k, rebuild, rescale_at,
+        out.ctypes.data, out.size,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def ac_decode_plane(
+    data: bytes, n: int, k: int, rebuild: int, rescale_at: int
+) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty(n, np.int32)
+    r = lib.nsc_ac_decode_plane(
+        buf.ctypes.data, buf.size, n, k, rebuild, rescale_at,
+        out.ctypes.data,
+    )
+    if r < 0:
+        return None
+    return out
