@@ -54,6 +54,38 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
+def make_parallel_infer(model, mesh: Mesh, *, kind: str = "reconstruct"):
+    """DP inference over the mesh — the BASELINE.json:5 north-star shape
+    (batched encode+decode across a v5e-8). Inference has no cross-replica
+    state, so plain jit with shardings suffices: XLA partitions the batch
+    axis, params replicate, no collectives are emitted (embarrassingly
+    parallel => linear RTF scaling).
+
+    kind: 'reconstruct' (N,T)->(N,T) | 'encode' (N,T)->(N,F,n_q) |
+          'decode' (N,F,n_q)->(N,T). Batch N must divide the mesh size.
+    Returns fn(params, rvq, x, n_q=None)."""
+    import functools
+
+    rep = NamedSharding(mesh, P())
+    shd = NamedSharding(mesh, P(DATA_AXIS))
+    method = {
+        "reconstruct": model.reconstruct,
+        "encode": model.encode,
+        "decode": model.decode,
+    }[kind]
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=("n_q",),
+        in_shardings=(rep, rep, shd),
+        out_shardings=shd,
+    )
+    def run(params, rvq, x, n_q=None):
+        return method(params, rvq, x, n_q=n_q)
+
+    return run
+
+
 def make_parallel_train_step(model, tcfg, mesh: Mesh):
     """shard_map-wrapped, jitted train step: batch sharded on 'data', state
     replicated. Collectives inside the step keep every replica's state

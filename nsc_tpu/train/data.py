@@ -93,3 +93,55 @@ def make_source(spec: str, sample_rate: int, seed: int = 0):
     if spec == "synthetic":
         return SyntheticSource(sample_rate, seed)
     return WavDirectorySource(spec, sample_rate, seed)
+
+
+class Prefetcher:
+    """Background-thread batch assembly (SURVEY.md §3 #16: the reference's
+    DataLoader runs workers off the training thread; this is the host-side
+    equivalent). Wraps any batch iterator with a bounded queue so random-crop
+    / synthesis work overlaps the device step. depth=2 suffices: one batch
+    in flight to the device (loop.py's device prefetch), one being built."""
+
+    _STOP = object()
+
+    def __init__(self, it, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err = None
+        self._done = False
+
+        def worker():
+            try:
+                for item in it:
+                    if self._done:
+                        return
+                    self._q.put(item)
+            except BaseException as e:  # surface in the consumer thread
+                self._err = e
+            finally:
+                self._q.put(self._STOP)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._STOP:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._done = True
+        # drain so the worker's blocked put() releases
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass

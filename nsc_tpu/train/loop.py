@@ -90,7 +90,9 @@ def run(
         data_spec, cfg.sample_rate, tcfg.seed + 1009 * jax.process_index()
     )
     local_batch = tcfg.batch_size // jax.process_count()
-    batches = source.batches(local_batch, seg_len)
+    # background-thread batch assembly + one-step device prefetch below:
+    # crop/synthesis work and host->device transfer both overlap the step
+    batches = data_lib.Prefetcher(source.batches(local_batch, seg_len))
 
     logger = MetricsLogger(workdir)
     metrics = {}
@@ -121,6 +123,7 @@ def run(
                 os.path.join(workdir, "infer"), step + 1,
                 host_state["params_g"], host_state["rvq"],
             )
+    batches.close()
     logger.close()
     return {k: float(v) for k, v in metrics.items()}
 
@@ -139,6 +142,14 @@ def main(argv=None) -> int:
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
+        "--warmup-steps", type=int, default=2000,
+        help="linear LR warmup (family-standard for long GAN runs)",
+    )
+    p.add_argument(
+        "--lr-decay-steps", type=int, default=-1,
+        help="cosine-decay horizon; -1 = the full run, 0 = constant LR",
+    )
+    p.add_argument(
         "--debug-nans", action="store_true",
         help="enable jax_debug_nans (SURVEY.md §6 sanitizer row): the step "
         "raises at the first non-finite value instead of training on garbage",
@@ -156,7 +167,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_debug_nans", True)
 
     cfg = get_config(args.config)
-    overrides = {"seed": args.seed}
+    overrides = {"seed": args.seed, "warmup_steps": args.warmup_steps}
     if args.batch_size:
         overrides["batch_size"] = args.batch_size
     if args.segment_seconds:
@@ -164,6 +175,9 @@ def main(argv=None) -> int:
     if args.no_gan:
         overrides["use_gan"] = False
     tcfg = dataclasses.replace(TrainConfig(), **overrides)
+    total = args.steps if args.steps is not None else tcfg.steps
+    decay = total if args.lr_decay_steps < 0 else args.lr_decay_steps
+    tcfg = dataclasses.replace(tcfg, lr_decay_steps=decay)
     run(cfg, tcfg, workdir=args.workdir, data_spec=args.data,
         steps=args.steps, resume=not args.no_resume)
     return 0

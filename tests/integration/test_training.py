@@ -236,3 +236,50 @@ def test_decompress_rejects_foreign_stream():
         nsc_tpu.decompress(b_fact, blob)
     out = nsc_tpu.decompress(b_small, blob)  # same model still fine
     assert out.shape == wav.shape
+
+
+def test_dp_inference_equals_single_device():
+    """DP inference over the 8-device mesh (the north-star's deployment
+    shape) must reproduce the single-device result bit-for-bit on indices
+    and to float tolerance on waveforms."""
+    from nsc_tpu.configs import get_config
+    from nsc_tpu.models.codec import init_codec
+    from nsc_tpu.parallel import make_mesh, make_parallel_infer, replicate, shard_batch
+
+    cfg = get_config("tiny_test")
+    model, params, rvq = init_codec(jax.random.PRNGKey(0), cfg)
+    wav = np.random.RandomState(0).randn(8, 16 * cfg.hop).astype(np.float32) * 0.2
+
+    ref_idx = np.asarray(model.encode(params, rvq, jnp.asarray(wav)))
+    ref_wav = np.asarray(model.reconstruct(params, rvq, jnp.asarray(wav)))
+
+    mesh = make_mesh()
+    p, q = replicate(mesh, params), replicate(mesh, rvq)
+    batch = shard_batch(mesh, wav)
+    enc = make_parallel_infer(model, mesh, kind="encode")
+    rec = make_parallel_infer(model, mesh, kind="reconstruct")
+    np.testing.assert_array_equal(np.asarray(enc(p, q, batch)), ref_idx)
+    np.testing.assert_allclose(
+        np.asarray(rec(p, q, batch)), ref_wav, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_prefetcher_delivers_and_propagates_errors():
+    from nsc_tpu.train.data import Prefetcher, SyntheticSource
+
+    src = SyntheticSource(16000, 0)
+    pf = Prefetcher(src.batches(2, 800), depth=2)
+    a = next(pf)
+    b = next(pf)
+    assert a.shape == b.shape == (2, 800)
+    assert not np.array_equal(a, b)  # advancing, not repeating
+    pf.close()
+
+    def boom():
+        yield np.zeros((1, 8), np.float32)
+        raise RuntimeError("loader exploded")
+
+    pf2 = Prefetcher(boom())
+    next(pf2)
+    with pytest.raises(RuntimeError, match="exploded"):
+        next(pf2)
