@@ -42,17 +42,38 @@ def list_models() -> tuple:
     return list_configs()
 
 
+def serving_config(cfg: CodecConfig) -> CodecConfig:
+    """The measured-fastest TPU serving configuration (docs/PERFORMANCE.md):
+    bf16 compute, fused Pallas RVQ, CT-layout fused residual stages, and the
+    polynomial snake. All flags auto-fall back off-TPU. NOTE: snake_fast
+    deviates from exact-sine snake by <8.1e-5 (under bf16 resolution) — on a
+    snake-trained checkpoint ~98.5% of indices match the exact path; use the
+    plain config when archival index stability across configs matters."""
+    act = "snake_fast" if cfg.activation == "snake" else cfg.activation
+    return dataclasses.replace(
+        cfg,
+        compute_dtype="bfloat16",
+        rvq_backend="pallas",
+        unit_backend="auto",
+        activation=act,
+    )
+
+
 def load_model(
     name: str = "base",
     *,
     checkpoint: Optional[str] = None,
     seed: int = 0,
+    serving: bool = False,
 ) -> ModelBundle:
     """Build a codec by config name; optionally restore weights from an orbax
     checkpoint directory (as written by nsc_tpu.train). Without a checkpoint,
     weights are deterministic random init — no published reference
-    checkpoints are reachable in this environment (SURVEY.md §0)."""
+    checkpoints are reachable in this environment (SURVEY.md §0).
+    serving=True applies serving_config() (fast TPU inference path)."""
     cfg = get_config(name)
+    if serving:
+        cfg = serving_config(cfg)
     model, params, rvq = init_codec(jax.random.PRNGKey(seed), cfg)
     if checkpoint is not None:
         from nsc_tpu.train.checkpoint import restore_inference
@@ -89,6 +110,25 @@ def _pad_to_hop(wav: np.ndarray, hop: int) -> np.ndarray:
     return wav
 
 
+_MIN_BUCKET_FRAMES = 64
+
+
+def _pad_to_bucket(wav: np.ndarray, hop: int) -> np.ndarray:
+    """Pad to a power-of-two frame count so arbitrary input lengths hit a
+    handful of compiled programs instead of one per length (SURVEY.md §8
+    hard-part #7 'bucket lengths'). Only valid for CAUSAL configs: trailing
+    zeros cannot influence earlier frames there, so after trimming the extra
+    frames the indices are bit-identical to the tight-padded encode
+    (tests/unit/test_model.py::test_bucketed_encode_identical)."""
+    t = wav.shape[-1]
+    frames = (t + hop - 1) // hop
+    bucket = max(_MIN_BUCKET_FRAMES, 1 << (frames - 1).bit_length())
+    pad = bucket * hop - t
+    if pad:
+        wav = np.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(0, pad)])
+    return wav
+
+
 def _as_batch(wav: ArrayLike) -> tuple[np.ndarray, bool]:
     arr = np.asarray(wav, dtype=np.float32)
     if arr.ndim == 1:
@@ -108,9 +148,17 @@ def encode(
 ) -> np.ndarray:
     """Waveform -> codebook indices. (T,) -> (F, n_q); (N, T) -> (N, F, n_q)."""
     batch, single = _as_batch(wav)
-    batch = _pad_to_hop(batch, bundle.cfg.hop)
+    t = batch.shape[-1]
+    cfg = bundle.cfg
+    if cfg.causal:
+        batch = _pad_to_bucket(batch, cfg.hop)
+    else:
+        # non-causal 'same' padding: trailing zeros leak into the final
+        # frames' receptive fields, so pad tightly (one program per length)
+        batch = _pad_to_hop(batch, cfg.hop)
     idx = _encode_jit(bundle.model, bundle.params, bundle.rvq, jnp.asarray(batch), n_q)
-    idx = np.asarray(idx)
+    frames = (t + cfg.hop - 1) // cfg.hop
+    idx = np.asarray(idx)[:, :frames]
     return idx[0] if single else idx
 
 

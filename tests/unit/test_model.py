@@ -65,3 +65,52 @@ def test_base_config_param_count_sane():
     n = param_count(params)
     # SEANet-class codec: ~10-100M params [INFERRED, SURVEY.md §3 #17]
     assert 1_000_000 < n < 100_000_000
+
+
+def test_bucketed_encode_identical():
+    """api.encode pads causal inputs to power-of-two frame buckets (few
+    compiled programs for arbitrary lengths); trimmed indices must be
+    bit-identical to a tight-length encode, for lengths around the bucket
+    edges and non-hop-multiples."""
+    from nsc_tpu import api
+    from nsc_tpu.configs import get_config
+
+    bundle = api.load_model("tiny_test")
+    cfg = bundle.cfg
+    rng = np.random.RandomState(0)
+    for t in (cfg.hop * 63, cfg.hop * 64, cfg.hop * 64 + 1, cfg.hop * 65,
+              cfg.hop * 100 + 7, 123):
+        wav = (rng.randn(t) * 0.2).astype(np.float32)
+        idx = api.encode(bundle, wav)
+        assert idx.shape[0] == (t + cfg.hop - 1) // cfg.hop, t
+        # tight reference: pad to hop multiple only, run the model directly
+        tight = np.pad(wav, (0, (-t) % cfg.hop))[None]
+        ref = np.asarray(
+            bundle.model.encode(bundle.params, bundle.rvq, jnp.asarray(tight))
+        )[0]
+        np.testing.assert_array_equal(idx, ref, err_msg=f"t={t}")
+
+
+def test_bucketed_roundtrip_lengths():
+    from nsc_tpu import api
+
+    bundle = api.load_model("tiny_test")
+    rng = np.random.RandomState(1)
+    for t in (123, 4001, 9000):
+        wav = (rng.randn(t) * 0.2).astype(np.float32)
+        out = api.decompress(bundle, api.compress(bundle, wav))
+        assert out.shape == wav.shape, t
+
+
+def test_serving_config_loads_and_roundtrips():
+    from nsc_tpu import api
+
+    bundle = api.load_model("tiny_test", serving=True)
+    assert bundle.cfg.rvq_backend == "pallas"
+    assert bundle.cfg.unit_backend == "auto"
+    assert bundle.cfg.activation == "snake_fast"
+    assert bundle.cfg.compute_dtype == "bfloat16"
+    assert bundle.cfg.name == "tiny_test"  # bitstream identity unchanged
+    wav = (np.random.RandomState(0).randn(2000) * 0.1).astype(np.float32)
+    out = api.decompress(bundle, api.compress(bundle, wav))
+    assert out.shape == wav.shape
