@@ -118,8 +118,9 @@ def _pad_to_bucket(wav: np.ndarray, hop: int) -> np.ndarray:
     handful of compiled programs instead of one per length (SURVEY.md §8
     hard-part #7 'bucket lengths'). Only valid for CAUSAL configs: trailing
     zeros cannot influence earlier frames there, so after trimming the extra
-    frames the indices are bit-identical to the tight-padded encode
-    (tests/unit/test_model.py::test_bucketed_encode_identical)."""
+    frames the result matches the tight-padded computation (indices tested
+    bit-identical across bucket edges; decoded waveforms agree to 1 ulp —
+    XLA's shape-dependent fusions reorder float ops at that level)."""
     t = wav.shape[-1]
     frames = (t + hop - 1) // hop
     bucket = max(_MIN_BUCKET_FRAMES, 1 << (frames - 1).bit_length())
@@ -170,8 +171,15 @@ def decode(
     single = idx.ndim == 2
     if single:
         idx = idx[None]
+    frames = idx.shape[1]
+    if bundle.cfg.causal and frames:
+        # frame-bucketing, mirroring encode(): trailing pad frames cannot
+        # affect earlier output samples of a causal decoder; trim after
+        bucket = max(_MIN_BUCKET_FRAMES, 1 << (frames - 1).bit_length())
+        if bucket != frames:
+            idx = np.pad(idx, ((0, 0), (0, bucket - frames), (0, 0)))
     wav = _decode_jit(bundle.model, bundle.params, bundle.rvq, jnp.asarray(idx), n_q)
-    wav = np.asarray(wav, dtype=np.float32)
+    wav = np.asarray(wav, dtype=np.float32)[:, : frames * bundle.cfg.hop]
     return wav[0] if single else wav
 
 

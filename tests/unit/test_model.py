@@ -114,3 +114,22 @@ def test_serving_config_loads_and_roundtrips():
     wav = (np.random.RandomState(0).randn(2000) * 0.1).astype(np.float32)
     out = api.decompress(bundle, api.compress(bundle, wav))
     assert out.shape == wav.shape
+
+
+def test_bucketed_decode_identical():
+    from nsc_tpu import api
+
+    bundle = api.load_model("tiny_test")
+    rng = np.random.RandomState(2)
+    cfg = bundle.cfg
+    for f in (5, 63, 64, 65, 100):
+        idx = rng.randint(0, cfg.codebook_size, (f, cfg.num_quantizers)).astype(np.int32)
+        out = api.decode(bundle, idx)
+        assert out.shape == (f * cfg.hop,)
+        ref = np.asarray(
+            bundle.model.decode(bundle.params, bundle.rvq, jnp.asarray(idx[None]))
+        )[0]
+        # causality makes the computation identical; XLA's shape-dependent
+        # fusion choices reorder float ops at the 1-ulp level
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6,
+                                   err_msg=f"frames={f}")
