@@ -66,7 +66,11 @@ class CodecConfig:
     rvq_backend: str = "xla"
     # residual-unit stack: "reference" per-op | "pallas_ct" whole-stage
     # channels-on-sublanes VMEM kernel (float-tolerance equal; serving path;
-    # 2.5x faster at stage-1 width) | "auto" (= pallas_ct where supported) |
+    # scratch-carried halos, no host-side gather) | "auto" (= pallas_ct where
+    # supported) | "pallas_ct_fused" (boundary-fused experiment: stage
+    # kernels absorb the strided down/up convs too — measured a wash-to-loss
+    # on v5e because the phase-decomposition lane shuffle costs what the
+    # boundary layout flips cost; see seanet._fused_boundary_mode) |
     # "pallas_fused" ((T, C) lane-padded r1 variant, kept for comparison)
     unit_backend: str = "reference"
     # inference quantization: "none" | "int8" (W8A8 dynamic, ops/quant.py)
@@ -141,6 +145,14 @@ class TrainConfig:
 
     checkpoint_every: int = 2000
     log_every: int = 50
+    # eviction: keep the newest N train checkpoints (+ every keep_period-th
+    # step as a permanent milestone; 0 = no milestones)
+    keep_checkpoints: int = 3
+    keep_period: int = 0
+    # best-metric export: when this logged metric improves at checkpoint
+    # time, an inference export is written to <workdir>/infer_best (lower is
+    # better; load_model prefers it over the latest export)
+    best_metric: str = "loss/mel"
 
 
 _REGISTRY: Dict[str, Callable[[], CodecConfig]] = {}

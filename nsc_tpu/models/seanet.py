@@ -127,6 +127,108 @@ def _unit_stack(
     return h
 
 
+def _fused_boundary_mode(cfg: CodecConfig, dtype) -> str | None:
+    """Boundary-fused whole-codec path (ops/pallas/residual_stack.py
+    fused_stage_ct_pallas): the stage kernels also absorb the encoder's
+    down_act+down convs (phase-decomposed head) and the decoder's
+    up_act+up transposed convs (phase-major tail), so activations stay in
+    the CT layout across the whole stack and the per-boundary XLA layout
+    flips disappear. Returns "compiled", "interpret", or None (unsupported).
+
+    MEASURED (r2b, docs/PERFORMANCE.md): a wash at stride-2 boundaries and a
+    net LOSS end-to-end (2382x vs 2835x RTF) — the phase-decomposition lane
+    shuffle the head needs (and the de-interleave the tail needs) is a
+    full-tensor lane permutation costing as much as the XLA layout flips it
+    removes. Kept as an explicit opt-in for future hardware; "auto" uses the
+    scratch-carry stage kernels + XLA boundaries instead.
+    """
+    if cfg.unit_backend != "pallas_ct_fused":
+        return None
+    if not (
+        cfg.causal
+        and cfg.activation in ("snake", "snake_fast")
+        and cfg.quant == "none"
+        and cfg.conv_backend == "reference"
+    ):
+        return None
+    min_c = 16 if dtype == jnp.bfloat16 else 8
+    widths = _stage_widths(cfg) + [encoder_final_width(cfg)]
+    if not all(w >= min_c and w % min_c == 0 for w in widths):
+        return None
+    if jax.default_backend() == "tpu":
+        return "compiled"
+    # off-TPU the explicit opt-in runs via the Pallas interpreter (slow;
+    # used by the CPU parity tests)
+    return "interpret"
+
+
+def _apply_encoder_fused(
+    p: Params, h: jax.Array, cfg: CodecConfig, interpret: bool
+) -> jax.Array:
+    """Post-stem encoder with boundary-fused stage kernels. The final
+    down/act/final conv stay XLA: they run at 1/40th the samples."""
+    from nsc_tpu.ops.pallas import residual_stack as RS
+
+    fast = cfg.activation == "snake_fast"
+    hc = jnp.swapaxes(h, 1, 2)  # (B, C, T)
+    for i, stage in enumerate(p["stages"]):
+        if i == 0:
+            head, s = None, 1
+        else:
+            prev = p["stages"][i - 1]
+            s = cfg.strides[i - 1]
+            head = RS.pack_head_params(
+                prev["down_act"], prev["down"], s, hc.dtype
+            )
+        packed = RS.pack_stage_params(stage["units"], cfg)
+        hc = RS.fused_stage_ct_pallas(
+            hc, head, *packed, None,
+            dilations=tuple(cfg.dilations), s_head=s,
+            fast_act=fast, interpret=interpret,
+        )
+    h = jnp.swapaxes(hc, 1, 2)
+    last = p["stages"][-1]
+    h = _act(cfg, h, last["down_act"])
+    h = _conv(cfg, h, last["down"], stride=cfg.strides[-1], padding="causal")
+    h = _act(cfg, h, p["final_act"])
+    return _conv(cfg, h, p["final"], padding="causal")
+
+
+def _apply_decoder_fused(
+    p: Params, z: jax.Array, cfg: CodecConfig, interpret: bool
+) -> jax.Array:
+    """Decoder with boundary-fused stage kernels (tail = next stage's
+    up_act + transposed up conv). The stem and first up conv stay XLA:
+    they run at 1/320th-1/40th the samples."""
+    from nsc_tpu.ops.pallas import residual_stack as RS
+
+    fast = cfg.activation == "snake_fast"
+    strides_rev = tuple(reversed(cfg.strides))
+    stages = p["stages"]
+    h = _conv(cfg, z, p["stem"], padding="causal")
+    h = _act(cfg, h, stages[0]["up_act"])
+    h = _conv_transpose(cfg, h, stages[0]["up"], stride=strides_rev[0])
+    hc = jnp.swapaxes(h, 1, 2)
+    for i, stage in enumerate(stages):
+        if i + 1 < len(stages):
+            s = strides_rev[i + 1]
+            tail = RS.pack_tail_params(
+                stages[i + 1]["up_act"], stages[i + 1]["up"], s, hc.dtype
+            )
+        else:
+            tail, s = None, 1
+        packed = RS.pack_stage_params(stage["units"], cfg)
+        hc = RS.fused_stage_ct_pallas(
+            hc, None, *packed, tail,
+            dilations=tuple(cfg.dilations), s_tail=s,
+            fast_act=fast, interpret=interpret,
+        )
+    h = jnp.swapaxes(hc, 1, 2)
+    h = _act(cfg, h, p["final_act"])
+    h = _conv(cfg, h, p["final"], padding="causal")
+    return jnp.tanh(h)
+
+
 def _stage_widths(cfg: CodecConfig) -> List[int]:
     """Channel width entering each encoder stage; doubles per stage."""
     return [cfg.base_width * (2**i) for i in range(len(cfg.strides))]
@@ -212,6 +314,9 @@ def apply_encoder(p: Params, x: jax.Array, cfg: CodecConfig) -> jax.Array:
     """(N, T, 1) waveform -> (N, T/hop, latent_dim) latents."""
     pad = "causal" if cfg.causal else "same"
     h = _conv(cfg, x, p["stem"], padding=pad)
+    mode = _fused_boundary_mode(cfg, h.dtype)
+    if mode is not None:
+        return _apply_encoder_fused(p, h, cfg, interpret=(mode == "interpret"))
     for stage, stride in zip(p["stages"], cfg.strides):
         h = _unit_stack(cfg, h, stage["units"], pad)
         h = _act(cfg, h, stage["down_act"])
@@ -261,6 +366,9 @@ def init_decoder(key: jax.Array, cfg: CodecConfig) -> Params:
 def apply_decoder(p: Params, z: jax.Array, cfg: CodecConfig) -> jax.Array:
     """(N, F, latent_dim) latents -> (N, F*hop, 1) waveform in (-1, 1)."""
     pad = "causal" if cfg.causal else "same"
+    mode = _fused_boundary_mode(cfg, z.dtype)
+    if mode is not None:
+        return _apply_decoder_fused(p, z, cfg, interpret=(mode == "interpret"))
     h = _conv(cfg, z, p["stem"], padding=pad)
     for stage, stride in zip(p["stages"], reversed(cfg.strides)):
         h = _act(cfg, h, stage["up_act"])

@@ -17,17 +17,30 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def _manager(directory: str, max_to_keep: int = 3) -> ocp.CheckpointManager:
+def _manager(
+    directory: str, max_to_keep: int = 3, keep_period: Optional[int] = None
+) -> ocp.CheckpointManager:
     return ocp.CheckpointManager(
         os.path.abspath(directory),
         options=ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep, enable_async_checkpointing=True
+            max_to_keep=max_to_keep,
+            keep_period=keep_period,
+            enable_async_checkpointing=True,
         ),
     )
 
 
-def save(directory: str, step: int, state: Any) -> None:
-    mgr = _manager(directory)
+def save(
+    directory: str,
+    step: int,
+    state: Any,
+    *,
+    max_to_keep: int = 3,
+    keep_period: Optional[int] = None,
+) -> None:
+    """Save + evict: keeps the newest `max_to_keep` checkpoints, plus every
+    `keep_period`-th step as a permanent milestone (orbax eviction policy)."""
+    mgr = _manager(directory, max_to_keep, keep_period)
     mgr.save(step, args=ocp.args.StandardSave(state))
     mgr.wait_until_finished()
     mgr.close()
@@ -56,11 +69,16 @@ def restore(directory: str, target_state: Any) -> Tuple[int, Any]:
 
 
 def restore_inference(directory: str, params_template, rvq_template):
-    """Load (params_g, rvq) for the public API (nsc_tpu.load_model). Prefers
-    the inference-only export under <dir>/infer (written by the train loop);
-    falls back to treating `directory` itself as an inference checkpoint."""
-    infer_dir = os.path.join(directory, "infer")
-    target = infer_dir if latest_step(infer_dir) is not None else directory
+    """Load (params_g, rvq) for the public API (nsc_tpu.load_model).
+    Preference order: <dir>/infer_best (best eval-metric export, written by
+    the train loop when TrainConfig.best_metric improves) > <dir>/infer
+    (latest) > the directory itself as an inference checkpoint."""
+    target = directory
+    for sub in ("infer_best", "infer"):
+        cand = os.path.join(directory, sub)
+        if latest_step(cand) is not None:
+            target = cand
+            break
     _, state = restore(
         target, {"params_g": params_template, "rvq": rvq_template}
     )

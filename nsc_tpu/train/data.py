@@ -88,10 +88,80 @@ class WavDirectorySource:
             yield out
 
 
+class GrainWavSource:
+    """grain-backed WAV pipeline (SURVEY.md §3 #16 names grain as the torch
+    DataLoader equivalent): decodes files ON DEMAND instead of caching the
+    corpus in RAM, shards the file list across hosts, and shuffles
+    deterministically per epoch. Use for corpora that outgrow
+    WavDirectorySource's in-memory cache (LibriSpeech-960 at 16 kHz ~ 60 GB
+    f32); for small corpora the cached source is faster.
+
+    Each yielded batch is (batch_size, segment_len) float32 random crops —
+    the same contract as the other sources, so loop.py is agnostic.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        sample_rate: int = 16_000,
+        seed: int = 0,
+        shard_index: Optional[int] = None,
+        shard_count: Optional[int] = None,
+    ):
+        self.sample_rate = sample_rate
+        self._seed = seed
+        paths: List[str] = []
+        for dirpath, _, files in os.walk(root):
+            for f in sorted(files):
+                if f.lower().endswith(".wav"):
+                    paths.append(os.path.join(dirpath, f))
+        if not paths:
+            raise FileNotFoundError(f"no .wav files under {root}")
+        if shard_index is None:
+            import jax
+
+            shard_index = jax.process_index()
+            shard_count = jax.process_count()
+        # contiguous-stride file sharding: each host sees a disjoint subset
+        self._paths = paths[shard_index :: max(shard_count, 1)] or paths
+
+    def batches(self, batch_size: int, segment_len: int) -> Iterator[np.ndarray]:
+        import grain
+
+        seed = self._seed
+        sr = self.sample_rate
+
+        def decode_and_crop(args):
+            path, idx = args
+            wav, _ = audio.load_wav(path, target_sr=sr)
+            clip = audio.to_mono(wav).astype(np.float32)
+            out = np.zeros(segment_len, np.float32)
+            rng = np.random.RandomState((seed + 7919 * idx) % (2**31))
+            if len(clip) <= segment_len:
+                out[: len(clip)] = clip
+            else:
+                start = rng.randint(len(clip) - segment_len)
+                out = clip[start : start + segment_len]
+            return out
+
+        ds = (
+            grain.MapDataset.source(self._paths)
+            .repeat()  # infinite epochs, reshuffled each epoch
+            .shuffle(seed=seed)
+            .map_with_index(lambda i, p: decode_and_crop((p, i)))
+            .batch(batch_size)
+        )
+        for batch in ds.to_iter_dataset():
+            yield np.asarray(batch, np.float32)
+
+
 def make_source(spec: str, sample_rate: int, seed: int = 0):
-    """'synthetic' or a directory path."""
+    """'synthetic', a directory path, or 'grain:<dir>' (on-demand grain
+    pipeline for corpora too large to cache in host RAM)."""
     if spec == "synthetic":
         return SyntheticSource(sample_rate, seed)
+    if spec.startswith("grain:"):
+        return GrainWavSource(spec[len("grain:"):], sample_rate, seed)
     return WavDirectorySource(spec, sample_rate, seed)
 
 

@@ -96,6 +96,12 @@ def run(
 
     logger = MetricsLogger(workdir)
     metrics = {}
+    # best-metric tracking survives restarts via a sidecar json
+    best_path = os.path.join(workdir, "best.json")
+    best = float("inf")
+    if resume and os.path.exists(best_path):
+        with open(best_path) as f:
+            best = float(json.load(f)["value"])
     t0 = time.time()
     # one-step host->device prefetch: the next batch transfers while the
     # current step runs (dispatch is async; transfer overlaps compute)
@@ -118,11 +124,27 @@ def run(
             )
         if (step + 1) % tcfg.checkpoint_every == 0 or step + 1 == steps:
             host_state = jax.tree.map(np.asarray, state)
-            ckpt.save(train_dir, step + 1, host_state)
+            ckpt.save(
+                train_dir, step + 1, host_state,
+                max_to_keep=tcfg.keep_checkpoints,
+                keep_period=tcfg.keep_period or None,
+            )
             ckpt.save_inference(
                 os.path.join(workdir, "infer"), step + 1,
                 host_state["params_g"], host_state["rvq"],
             )
+            val = float(metrics.get(tcfg.best_metric, np.inf))
+            if np.isfinite(val) and val < best:
+                best = val
+                ckpt.save_inference(
+                    os.path.join(workdir, "infer_best"), step + 1,
+                    host_state["params_g"], host_state["rvq"],
+                )
+                with open(best_path, "w") as f:
+                    json.dump(
+                        {"metric": tcfg.best_metric, "value": best,
+                         "step": step + 1}, f,
+                    )
     batches.close()
     logger.close()
     return {k: float(v) for k, v in metrics.items()}

@@ -57,3 +57,11 @@ def test_crash_and_resume(tmp_path):
     bundle = nsc_tpu.load_model("tiny_test", checkpoint=wd)
     idx = nsc_tpu.encode(bundle, np.zeros(cfg.hop * 8, np.float32))
     assert idx.shape == (8, cfg.num_quantizers)
+
+    # best-metric export: written whenever TrainConfig.best_metric improved,
+    # with a sidecar recording metric/value/step (survives restarts)
+    assert ckpt.latest_step(os.path.join(wd, "infer_best")) is not None
+    with open(os.path.join(wd, "best.json")) as f:
+        best = json.load(f)
+    assert best["metric"] == "loss/mel"
+    assert np.isfinite(best["value"]) and 1 <= best["step"] <= 7

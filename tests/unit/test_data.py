@@ -1,0 +1,73 @@
+"""Input-pipeline sources (SURVEY.md §3 #16): synthetic, wav-dir, grain."""
+
+import os
+
+import numpy as np
+import pytest
+
+from nsc_tpu.train import data as D
+from nsc_tpu.utils import audio
+
+
+@pytest.fixture()
+def wav_dir(tmp_path):
+    for i in range(5):
+        audio.save_wav(
+            str(tmp_path / f"{i}.wav"),
+            np.random.RandomState(i).randn(8000).astype(np.float32) * 0.1,
+            16_000,
+        )
+    return str(tmp_path)
+
+
+def test_synthetic_deterministic():
+    a = next(D.SyntheticSource(16_000, seed=5).batches(3, 1600))
+    b = next(D.SyntheticSource(16_000, seed=5).batches(3, 1600))
+    assert a.shape == (3, 1600) and np.allclose(a, b)
+    assert float(np.abs(a).max()) <= 1.0
+
+
+def test_wav_dir_source_crops(wav_dir):
+    src = D.WavDirectorySource(wav_dir, 16_000, seed=0)
+    batch = next(src.batches(4, 3200))
+    assert batch.shape == (4, 3200) and np.isfinite(batch).all()
+
+
+def test_grain_source_batches_and_determinism(wav_dir):
+    src = D.make_source("grain:" + wav_dir, 16_000, seed=3)
+    assert isinstance(src, D.GrainWavSource)
+    it = src.batches(4, 3200)
+    b1, b2 = next(it), next(it)
+    assert b1.shape == (4, 3200) and np.isfinite(b1).all()
+    assert not np.allclose(b1, b2)  # stream advances
+    # same seed -> identical stream (deterministic shuffling + crops)
+    it2 = D.make_source("grain:" + wav_dir, 16_000, seed=3).batches(4, 3200)
+    np.testing.assert_allclose(next(it2), b1)
+
+
+def test_grain_source_shards_files(wav_dir):
+    s0 = D.GrainWavSource(wav_dir, 16_000, shard_index=0, shard_count=2)
+    s1 = D.GrainWavSource(wav_dir, 16_000, shard_index=1, shard_count=2)
+    assert set(s0._paths).isdisjoint(s1._paths)
+    assert len(s0._paths) + len(s1._paths) == 5
+
+
+def test_prefetcher_passthrough_and_close():
+    it = iter([np.ones(2), np.zeros(2)])
+    pf = D.Prefetcher(it)
+    got = [next(pf), next(pf)]
+    assert np.allclose(got[0], 1) and np.allclose(got[1], 0)
+    with pytest.raises(StopIteration):
+        next(pf)
+    pf.close()
+
+
+def test_prefetcher_surfaces_worker_error():
+    def bad():
+        yield np.ones(2)
+        raise RuntimeError("decode failed")
+
+    pf = D.Prefetcher(bad())
+    next(pf)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(pf)

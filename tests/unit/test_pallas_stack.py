@@ -151,3 +151,129 @@ def test_ct_stack_tile_boundary_and_padding():
         np.asarray(jnp.swapaxes(out, 1, 2)), np.asarray(h),
         rtol=1e-4, atol=1e-5,
     )
+
+
+# ---------------------------------------------------------------------------
+# boundary-fused variant (head = down_act + strided conv, tail = up_act +
+# transposed conv) — r2b serving path
+# ---------------------------------------------------------------------------
+
+
+def _boundary_cfg(act="snake"):
+    import dataclasses
+
+    return dataclasses.replace(
+        get_config("base"), base_width=8, strides=(2, 4, 5),
+        dilations=(1, 3), latent_dim=16, codebook_dim=16, activation=act,
+    )
+
+
+def _rand(shape, seed, scale=0.5):
+    return jnp.asarray(
+        np.random.RandomState(seed).randn(*shape).astype(np.float32) * scale
+    )
+
+
+@pytest.mark.parametrize("t", [777, 1280])
+def test_fused_boundary_encoder_matches_reference(t):
+    """Full encoder: unit_backend='pallas_ct_fused' (interpret off-TPU) must
+    match the per-op reference to f32 tolerance, including the
+    phase-decomposed strided heads and ceil-length stages."""
+    import dataclasses
+
+    cfg = _boundary_cfg()
+    cfg_f = dataclasses.replace(cfg, unit_backend="pallas_ct_fused")
+    p = seanet.init_encoder(jax.random.PRNGKey(0), cfg)
+    x = _rand((2, t, 1), 1)
+    ref = seanet.apply_encoder(p, x, cfg)
+    got = seanet.apply_encoder(p, x, cfg_f)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("f", [100, 33])
+def test_fused_boundary_decoder_matches_reference(f):
+    import dataclasses
+
+    cfg = _boundary_cfg()
+    cfg_f = dataclasses.replace(cfg, unit_backend="pallas_ct_fused")
+    p = seanet.init_decoder(jax.random.PRNGKey(0), cfg)
+    z = _rand((2, f, cfg.latent_dim), 2, 1.0)
+    ref = seanet.apply_decoder(p, z, cfg)
+    got = seanet.apply_decoder(p, z, cfg_f)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fused_boundary_fast_act_close():
+    import dataclasses
+
+    cfg = _boundary_cfg("snake_fast")
+    cfg_f = dataclasses.replace(cfg, unit_backend="pallas_ct_fused")
+    pe = seanet.init_encoder(jax.random.PRNGKey(0), cfg)
+    x = _rand((1, 999, 1), 3)
+    np.testing.assert_allclose(
+        np.asarray(seanet.apply_encoder(pe, x, cfg_f)),
+        np.asarray(seanet.apply_encoder(pe, x, cfg)),
+        rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_fused_stage_head_tile_boundaries():
+    """Strided head across small tiles: the halo lane must hand the previous
+    tile's phase-decomposed activations over exactly."""
+    cfg, units = _setup(c=16, dilations=(1, 3))
+    s = 4
+    key = jax.random.PRNGKey(7)
+    act_p = seanet._init_residual_unit(key, 8, 3, cfg)["act1"]  # 8-ch alpha
+    down = seanet.C.init_conv(key, 2 * s, 8, 16, weight_norm=True)
+    x = _rand((2, 1111, 8), 8)  # (B, T, C_prev)
+
+    h = seanet.C.activation("snake", x, act_p)
+    h = seanet.C.conv1d(h, down, stride=s, padding="causal")
+    ref = h
+    for u, d in zip(units, cfg.dilations):
+        ref = seanet._apply_residual_unit(u, ref, d, cfg, "causal")
+
+    head = RS.pack_head_params(act_p, down, s, jnp.float32)
+    packed = RS.pack_stage_params(units, cfg)
+    out = RS.fused_stage_ct_pallas(
+        jnp.swapaxes(x, 1, 2), head, *packed, None,
+        dilations=tuple(cfg.dilations), s_head=s, interpret=True, tile_t=128,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 1, 2)), np.asarray(ref),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_fused_stage_tail_tile_boundaries():
+    """Transposed tail across small tiles: phase-major emission +
+    de-interleave must equal conv_transpose1d exactly."""
+    cfg, units = _setup(c=16, dilations=(1, 3))
+    s = 5
+    key = jax.random.PRNGKey(9)
+    act_p = seanet.C.activation_init("snake", 16)
+    up = seanet.C.init_conv(key, 2 * s, 16, 8, weight_norm=True)
+    x = _rand((2, 700, 16), 10)
+
+    ref = x
+    for u, d in zip(units, cfg.dilations):
+        ref = seanet._apply_residual_unit(u, ref, d, cfg, "causal")
+    ref = seanet.C.activation("snake", ref, act_p)
+    ref = seanet.C.conv_transpose1d(ref, up, stride=s, causal=True)
+
+    tail = RS.pack_tail_params(act_p, up, s, jnp.float32)
+    packed = RS.pack_stage_params(units, cfg)
+    out = RS.fused_stage_ct_pallas(
+        jnp.swapaxes(x, 1, 2), None, *packed, tail,
+        dilations=tuple(cfg.dilations), s_tail=s, interpret=True, tile_t=128,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(out, 1, 2)), np.asarray(ref),
+        rtol=1e-4, atol=1e-5,
+    )
