@@ -25,6 +25,7 @@ _API_NAMES = (
     "encode",
     "list_models",
     "load_model",
+    "quantize_model",
 )
 
 

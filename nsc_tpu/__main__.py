@@ -21,6 +21,16 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--model", default="base", help="config name")
         sp.add_argument("--checkpoint", default=None, help="orbax checkpoint dir")
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument(
+            "--serving", action="store_true",
+            help="measured-fastest TPU path (bf16 + Pallas kernels + "
+            "polynomial snake; ~1.5%% index deviation vs the exact path)",
+        )
+        sp.add_argument(
+            "--int8", action="store_true",
+            help="W8A8 int8 serving with statically calibrated activation "
+            "scales (nsc_tpu.quantize_model)",
+        )
 
     c = sub.add_parser("compress", help="wav -> nsc bitstream")
     c.add_argument("input"), c.add_argument("output")
@@ -87,8 +97,11 @@ def main(argv=None) -> int:
     from nsc_tpu.utils import audio
 
     bundle = nsc_tpu.load_model(
-        args.model, checkpoint=args.checkpoint, seed=args.seed
+        args.model, checkpoint=args.checkpoint, seed=args.seed,
+        serving=getattr(args, "serving", False),
     )
+    if getattr(args, "int8", False):
+        bundle = nsc_tpu.quantize_model(bundle)
 
     if args.cmd == "compress":
         wav, _ = audio.load_wav(args.input, target_sr=bundle.cfg.sample_rate)

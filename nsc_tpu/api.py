@@ -82,6 +82,33 @@ def load_model(
     return ModelBundle(model, params, rvq)
 
 
+def quantize_model(
+    bundle: ModelBundle, calibration_wavs=None, *, seconds: float = 2.0
+) -> ModelBundle:
+    """Return an int8-serving bundle with STATICALLY calibrated activation
+    scales (ops/quant.py): `calibration_wavs` (iterable of (N, T) float32
+    arrays; defaults to a few synthetic speech-like batches) is run once
+    eagerly, per-conv-site amax lands in the params as "a_s" leaves, and the
+    compiled graph then has no dynamic amax passes. Quality impact is
+    measured in tests/unit/test_quant.py; see docs/PERFORMANCE.md for when
+    int8 wins (compute-bound variants) vs bf16 (memory-bound base config)."""
+    from nsc_tpu.ops import quant as quant_lib
+
+    cfg = dataclasses.replace(bundle.cfg, quant="int8")
+    model = NeuralSpeechCodec(cfg)
+    if calibration_wavs is None:
+        from nsc_tpu.train.data import SyntheticSource
+
+        src = SyntheticSource(cfg.sample_rate, seed=0)
+        seg = max(cfg.hop, int(seconds * cfg.sample_rate) // cfg.hop * cfg.hop)
+        it = src.batches(2, seg)
+        calibration_wavs = [next(it) for _ in range(3)]
+    params = quant_lib.calibrate_codec(
+        model, bundle.params, bundle.rvq, calibration_wavs
+    )
+    return ModelBundle(model, params, bundle.rvq)
+
+
 # ---------------------------------------------------------------------------
 # jitted cores (static: model, n_q; cached per padded length)
 # ---------------------------------------------------------------------------

@@ -1,4 +1,5 @@
-"""int8 quantized inference path (W8A8, dynamic activation scales).
+"""int8 quantized inference path (W8A8; dynamic or statically-calibrated
+activation scales).
 
 The codec's convs are memory-bound on TPU (docs/PERFORMANCE.md), so int8
 halves the bound (bytes) AND doubles MXU peak. Scheme:
@@ -6,9 +7,16 @@ halves the bound (bytes) AND doubles MXU peak. Scheme:
   * weights: per-output-channel symmetric int8, quantized inside the conv
     from the float params (weights are tiny; XLA folds the quantization) —
     no separate checkpoint format.
-  * activations: per-tensor dynamic symmetric int8 (amax / 127), quantized
-    at each conv input; accumulation in int32 on the MXU, dequantized by
-    sx * sw into f32, bias added, rest of the graph unchanged.
+  * activations: per-tensor symmetric int8 (amax / 127), quantized at each
+    conv input; accumulation in int32 on the MXU, dequantized by sx * sw
+    into f32, bias added, rest of the graph unchanged.
+  * scales: DYNAMIC by default (amax computed per call — two extra
+    full-tensor passes per conv, which is why dynamic int8 measured SLOWER
+    than bf16 on this memory-bound model, docs/PERFORMANCE.md r2), or
+    STATIC via `calibrate_codec()`: representative audio is run once, each
+    conv site's observed amax is stored in its param dict as an "a_s" leaf,
+    and the serving path then quantizes with a constant scale (the amax
+    passes disappear from the compiled graph).
 
 Opt-in via CodecConfig.quant = "int8" (inference only; training stays
 bf16/f32). Quality/parity impact is measured, not assumed — see
@@ -17,6 +25,8 @@ tests/unit/test_quant.py and docs/PERFORMANCE.md.
 
 from __future__ import annotations
 
+from typing import List, Optional
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -24,6 +34,10 @@ from jax import lax
 from nsc_tpu.ops.conv import materialize_weight
 
 _DIMENSION_NUMBERS = ("NWC", "WIO", "NWC")
+
+# calibration recorder: when set, _quantize_act appends each site's observed
+# amax (eager forward only; conv call order is deterministic)
+_RECORD: Optional[List[float]] = None
 
 
 def _quantize_weight(w: jax.Array):
@@ -34,9 +48,15 @@ def _quantize_weight(w: jax.Array):
     return w8, scale
 
 
-def _quantize_act(x: jax.Array):
-    """(..., C) -> (int8, scalar f32 scale). Per-tensor dynamic symmetric."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+def _quantize_act(x: jax.Array, static_amax: Optional[jax.Array] = None):
+    """(..., C) -> (int8, scalar f32 scale). Per-tensor symmetric; dynamic
+    amax unless a calibrated static amax ("a_s" param leaf) is supplied."""
+    if static_amax is None:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        if _RECORD is not None:
+            _RECORD.append(float(amax))
+    else:
+        amax = static_amax.astype(jnp.float32)
     scale = jnp.maximum(amax, 1e-12) / 127.0
     x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(
         jnp.int8
@@ -55,7 +75,7 @@ def conv1d_int8(
     """W8A8 causal conv, same semantics as ops.conv.conv1d."""
     w = materialize_weight(params).astype(jnp.float32)
     w8, sw = _quantize_weight(w)
-    x8, sx = _quantize_act(x)
+    x8, sx = _quantize_act(x, params.get("a_s"))
     k = w.shape[0]
     eff = (k - 1) * dilation
     if padding == "causal":
@@ -86,7 +106,7 @@ def conv_transpose1d_int8(
     """W8A8 causal transposed conv, same semantics as ops.conv version."""
     w = materialize_weight(params).astype(jnp.float32)
     w8, sw = _quantize_weight(w)
-    x8, sx = _quantize_act(x)
+    x8, sx = _quantize_act(x, params.get("a_s"))
     k = w.shape[0]
     y32 = lax.conv_general_dilated(
         x8, jnp.flip(w8, axis=0),
@@ -103,3 +123,81 @@ def conv_transpose1d_int8(
     if "b" in params:
         y = y + params["b"].astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# static calibration
+# ---------------------------------------------------------------------------
+
+
+def _conv_sites(params):
+    """Yield every conv param dict in FORWARD-CALL order (must mirror
+    seanet.apply_encoder / apply_decoder exactly; asserted by count in
+    calibrate_codec). Encoder: stem; per stage units(conv1, conv2) then the
+    strided down conv; final. Decoder: stem; per stage the transposed up
+    conv then units(conv1, conv2); final."""
+    e = params["encoder"]
+    yield e["stem"]
+    for st in e["stages"]:
+        for u in st["units"]:
+            yield u["conv1"]
+            yield u["conv2"]
+        yield st["down"]
+    yield e["final"]
+    d = params["decoder"]
+    yield d["stem"]
+    for st in d["stages"]:
+        yield st["up"]
+        for u in st["units"]:
+            yield u["conv1"]
+            yield u["conv2"]
+    yield d["final"]
+
+
+def calibrate_codec(model, params, rvq, wav_batches) -> dict:
+    """Observe per-conv-site activation amax on representative audio and
+    return params with an "a_s" (static amax, f32 scalar) leaf injected into
+    every conv param dict. Serving with these params + quant="int8" then
+    uses constant scales — no dynamic amax passes in the compiled graph.
+
+    `model.cfg.quant` must be "int8" (the recorder hooks the int8 conv
+    path); runs eagerly (unjitted), so a few short batches suffice.
+    The extra "a_s" leaf is ignored by the float conv path, so calibrated
+    params remain valid for quant="none" serving and for checkpointing.
+    """
+    global _RECORD
+    assert model.cfg.quant == "int8", "set cfg.quant='int8' for calibration"
+    site_amax = None
+    for wav in wav_batches:
+        _RECORD = []
+        try:
+            model.reconstruct(params, rvq, jnp.asarray(wav))
+        finally:
+            rec, _RECORD = _RECORD, None
+        if site_amax is None:
+            site_amax = rec
+        else:
+            assert len(rec) == len(site_amax), "conv call order changed"
+            site_amax = [max(a, b) for a, b in zip(site_amax, rec)]
+    assert site_amax, "no calibration batches given"
+
+    sites = list(_conv_sites(params))
+    assert len(sites) == len(site_amax), (
+        f"walk order out of sync: {len(sites)} sites vs "
+        f"{len(site_amax)} recorded activations"
+    )
+
+    # non-mutating injection: rebuild the nested structure with "a_s" leaves
+    flat = dict(zip([id(s) for s in sites], site_amax))
+
+    def rebuild(node):
+        if isinstance(node, dict):
+            new = {k: rebuild(v) for k, v in node.items()}
+            if id(node) in flat:
+                new["a_s"] = jnp.float32(flat[id(node)])
+            return new
+        if isinstance(node, list):
+            return [rebuild(v) for v in node]
+        return node
+
+    return rebuild(params)

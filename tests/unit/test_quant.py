@@ -56,3 +56,45 @@ def test_int8_model_end_to_end_quality():
     out_q = np.asarray(q_model.decode(bundle.params, bundle.rvq, jnp.asarray(idx_f)))
     d = mel_distance(out_f[0], out_q[0])
     assert d < 0.2, f"int8 decode mel drift too large: {d}"
+
+
+def test_int8_static_calibration():
+    """quantize_model(): per-site static scales reproduce the dynamic path
+    on calibration-like data, the "a_s" leaves land at every conv site, and
+    float serving with calibrated params is unchanged."""
+    import nsc_tpu
+    from nsc_tpu.models.codec import NeuralSpeechCodec
+    from nsc_tpu.ops import quant as Q
+
+    bundle = nsc_tpu.load_model("tiny_test")
+    rng = np.random.RandomState(0)
+    cal = [rng.randn(2, 512).astype(np.float32) * 0.1 for _ in range(2)]
+    qb = nsc_tpu.quantize_model(bundle, cal)
+    assert qb.cfg.quant == "int8"
+    n_sites = sum(1 for _ in Q._conv_sites(qb.params))
+    n_scales = sum(
+        1 for p in Q._conv_sites(qb.params) if "a_s" in p
+    )
+    assert n_scales == n_sites > 0
+
+    wav = jnp.asarray(cal[0])
+    dyn_model = NeuralSpeechCodec(qb.cfg)
+    idx_dyn = np.asarray(dyn_model.encode(bundle.params, bundle.rvq, wav))
+    idx_sta = np.asarray(qb.model.encode(qb.params, qb.rvq, wav))
+    agree = (idx_dyn == idx_sta).mean()
+    assert agree > 0.9, f"static-vs-dynamic agreement {agree}"
+
+    # calibrated params stay valid on the float path (extra leaves ignored)
+    idx_f0 = np.asarray(bundle.model.encode(bundle.params, bundle.rvq, wav))
+    idx_f1 = np.asarray(bundle.model.encode(qb.params, bundle.rvq, wav))
+    np.testing.assert_array_equal(idx_f0, idx_f1)
+
+
+def test_int8_static_default_calibration_runs():
+    import nsc_tpu
+
+    bundle = nsc_tpu.load_model("tiny_test")
+    qb = nsc_tpu.quantize_model(bundle, seconds=0.25)
+    wav = np.zeros(bundle.cfg.hop * 16, np.float32)
+    idx = nsc_tpu.encode(qb, wav)
+    assert idx.shape == (16, bundle.cfg.num_quantizers)
