@@ -342,6 +342,11 @@ def residual_stack_ct_pallas(
     if tile_t is None:
         # ~6 live (C, tile) f32 buffers; keep them well under the VMEM scope
         tile_t = max(512, min(TILE_T_CT, (1 << 19) // c // 128 * 128))
+        # short inputs (streaming chunks, final partial segments): shrink the
+        # tile to the input so the masked partial-block region stays < 128
+        # lanes instead of most of a default-size tile
+        if t < tile_t:
+            tile_t = max(128, -(-t // 128) * 128)
     assert tile_t % 128 == 0, tile_t  # keeps every scratch store lane-aligned
     # No host-side pad/trim: Pallas masks the non-dividing final block (its
     # padded lanes only feed outputs that the masked write drops — causal
@@ -351,6 +356,10 @@ def residual_stack_ct_pallas(
     # params transposed so per-unit columns broadcast over lanes
     a1t, a2t = a1.T, a2.T  # (C, U)
     b1t, b2t = b1.T, b2.T
+    # conv weights in the COMPUTE dtype, exactly like the XLA reference
+    # (conv1d casts w to x.dtype): parity improves AND bf16xbf16 dots run at
+    # full MXU rate instead of mixed-precision f32 passes
+    w1, w2 = w1.astype(x.dtype), w2.astype(x.dtype)
 
     out = pl.pallas_call(
         functools.partial(

@@ -50,7 +50,7 @@ def _quantize_kernel(z_ref, cbt_ref, csq_ref, idx_ref, *, n_q: int):
     r = z_ref[:].astype(jnp.float32)  # (TM, D)
     k = cbt_ref.shape[-1]
 
-    def body(q, r):
+    def nearest(q, r):
         # scores = ||c||^2 - 2 r.c  — (TM, K) entirely in VMEM
         # precision=HIGHEST: Mosaic lowers f32 dots at DEFAULT (bf16-pass)
         # precision otherwise — measured 0.13 max abs drift vs true f32 at
@@ -62,6 +62,11 @@ def _quantize_kernel(z_ref, cbt_ref, csq_ref, idx_ref, *, n_q: int):
             precision=jax.lax.Precision.HIGHEST,
         )
         idx = jnp.argmin(scores, axis=-1).astype(jnp.int32)  # lowest-index ties
+        idx_ref[:, pl.ds(q, 1)] = idx[:, None]
+        return idx, scores
+
+    def body(q, r):
+        idx, scores = nearest(q, r)
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
             == idx[:, None]
@@ -73,10 +78,12 @@ def _quantize_kernel(z_ref, cbt_ref, csq_ref, idx_ref, *, n_q: int):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,  # exact f32 codeword gather
         )
-        idx_ref[:, pl.ds(q, 1)] = idx[:, None]
         return r - quant
 
-    jax.lax.fori_loop(0, n_q, body, r, unroll=True)
+    # the LAST book's residual update is dead work (nothing consumes r after
+    # it) — 2 of the 2*n_q HIGHEST-precision matmuls skipped
+    r = jax.lax.fori_loop(0, n_q - 1, body, r, unroll=True)
+    nearest(n_q - 1, r)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
