@@ -56,14 +56,22 @@ def latest_step(directory: str) -> Optional[int]:
 
 
 def restore(directory: str, target_state: Any) -> Tuple[int, Any]:
-    """Restore the latest checkpoint into the structure of target_state."""
+    """Restore the latest checkpoint into the structure of target_state.
+
+    Falls back to a structure-free raw restore when the stored tree has
+    leaves the template lacks — e.g. params saved after int8 calibration
+    carry extra "a_s" scale leaves (ops/quant.py) that a fresh
+    init_codec() template doesn't."""
     mgr = _manager(directory)
     step = mgr.latest_step()
     if step is None:
         mgr.close()
         raise FileNotFoundError(f"no checkpoint under {directory}")
-    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target_state)
-    state = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    try:
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target_state)
+        state = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+    except (ValueError, KeyError, TypeError):
+        state = mgr.restore(step, args=ocp.args.StandardRestore())
     mgr.close()
     return step, state
 

@@ -98,3 +98,20 @@ def test_int8_static_default_calibration_runs():
     wav = np.zeros(bundle.cfg.hop * 16, np.float32)
     idx = nsc_tpu.encode(qb, wav)
     assert idx.shape == (16, bundle.cfg.num_quantizers)
+
+
+def test_calibrated_checkpoint_roundtrip(tmp_path):
+    """Params with injected 'a_s' leaves survive an orbax save -> load_model
+    cycle (restore falls back to a structure-free restore when the stored
+    tree has leaves the fresh template lacks)."""
+    import nsc_tpu
+    from nsc_tpu.train import checkpoint as ckpt
+
+    bundle = nsc_tpu.load_model("tiny_test")
+    qb = nsc_tpu.quantize_model(
+        bundle, [np.zeros((1, 64), np.float32)]
+    )
+    ckpt.save_inference(str(tmp_path), 1, qb.params, qb.rvq)
+    b2 = nsc_tpu.load_model("tiny_test", checkpoint=str(tmp_path))
+    idx = nsc_tpu.encode(b2, np.zeros(64, np.float32))
+    assert idx.shape == (16, 2)
