@@ -123,7 +123,12 @@ def run(
                 f"mel={m.get('loss/mel', 0):.4f} ({rate:.2f} it/s)"
             )
         if (step + 1) % tcfg.checkpoint_every == 0 or step + 1 == steps:
-            host_state = jax.tree.map(np.asarray, state)
+            # ONE bundled device->host transfer: per-leaf np.asarray costs a
+            # relay round-trip per leaf (~200 s/checkpoint measured on the
+            # tunneled chip; ~1 s bundled) — utils/transfer.py
+            from nsc_tpu.utils.transfer import bundled_device_get
+
+            host_state = bundled_device_get(state)
             ckpt.save(
                 train_dir, step + 1, host_state,
                 max_to_keep=tcfg.keep_checkpoints,
