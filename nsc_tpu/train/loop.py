@@ -123,9 +123,11 @@ def run(
                 f"mel={m.get('loss/mel', 0):.4f} ({rate:.2f} it/s)"
             )
         if (step + 1) % tcfg.checkpoint_every == 0 or step + 1 == steps:
-            # ONE bundled device->host transfer: per-leaf np.asarray costs a
-            # relay round-trip per leaf (~200 s/checkpoint measured on the
-            # tunneled chip; ~1 s bundled) — utils/transfer.py
+            # ONE bundled device->host transfer (utils/transfer.py): removes
+            # the per-leaf relay round-trips. NOTE the remaining checkpoint
+            # stall on the tunneled-TPU rig (~3 min for the ~230 MB GAN
+            # state) is raw d2h bandwidth, not leaf count — raise
+            # checkpoint_every for long runs there.
             from nsc_tpu.utils.transfer import bundled_device_get
 
             host_state = bundled_device_get(state)

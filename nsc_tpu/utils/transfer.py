@@ -1,13 +1,13 @@
 """Bundled device->host transfer.
 
 `np.asarray` / `jax.device_get` over a big pytree pulls one buffer per leaf;
-on this environment's tunneled TPU each pull pays the relay round-trip, so a
-train-state pull (hundreds of leaves) costs minutes — measured ~200 s per
-checkpoint in the 30k-step demo run, vs ~1 s for the same bytes in one
-transfer. `bundled_device_get` bitcasts every leaf to bytes ON DEVICE,
-concatenates into a single uint8 vector, pulls that once, and rebuilds the
-tree host-side. On a directly-attached TPU it is still a mild win (one DMA
-instead of many).
+on this environment's tunneled TPU each pull pays a relay round-trip.
+`bundled_device_get` bitcasts every leaf to bytes ON DEVICE, concatenates
+into a single uint8 vector, pulls that once, and rebuilds the tree
+host-side — removing the per-leaf round-trips (hundreds for a train state).
+Measured caveat (30k demo run): the relay's BULK d2h bandwidth is ~1-2 MB/s,
+so large states remain slow to pull there regardless of leaf count; on a
+directly-attached TPU the single-DMA form is strictly better.
 
 Handles any dtype (via bitcast) including typed PRNG key arrays (unwrapped
 with jax.random.key_data and re-wrapped on the host).
