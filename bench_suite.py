@@ -162,7 +162,7 @@ def config5_sweep():
     from nsc_tpu.train.data import SyntheticSource
 
     ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "artifacts", "small_synthetic_10k")
+                        "artifacts", "small_synthetic_30k")
     bundle = nsc_tpu.load_model("small", checkpoint=ckpt)
     # eval on the training distribution (synthetic speech-like) — quality
     # numbers are meaningful for a checkpoint trained on it
@@ -170,8 +170,8 @@ def config5_sweep():
     rows = bitrate_sweep(bundle, wavs)
     return {
         "config": 5,
-        "desc": "bitrate sweep, small config, trained ckpt (synthetic 10k)",
-        "checkpoint": "artifacts/small_synthetic_10k",
+        "desc": "bitrate sweep, small config, trained ckpt (synthetic 30k)",
+        "checkpoint": "artifacts/small_synthetic_30k",
         "rows": rows,
     }
 
