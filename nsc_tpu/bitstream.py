@@ -78,14 +78,23 @@ class BitstreamHeader:
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> tuple["BitstreamHeader", int]:
-        """Parse; returns (header, payload_offset)."""
+        """Parse; returns (header, payload_offset). Any malformed input —
+        truncated header, non-ascii name, short fixed fields — raises
+        BitstreamError (never a raw struct/decode error; fuzz-tested)."""
         if blob[:4] != MAGIC:
             raise BitstreamError("bad magic: not an NSC bitstream")
+        if len(blob) < 7:
+            raise BitstreamError("truncated header")
         version, flags, name_len = struct.unpack_from("<BBB", blob, 4)
         if version != VERSION:
             raise BitstreamError(f"unsupported bitstream version {version}")
         off = 7
-        name = blob[off : off + name_len].decode("ascii")
+        if len(blob) < off + name_len + _FIXED.size:
+            raise BitstreamError("truncated header")
+        try:
+            name = blob[off : off + name_len].decode("ascii")
+        except UnicodeDecodeError as e:
+            raise BitstreamError(f"bad model name in header: {e}") from None
         off += name_len
         bits, n_q, _, sr, hop, frames, orig = _FIXED.unpack_from(blob, off)
         off += _FIXED.size
@@ -186,6 +195,18 @@ def deserialize(
     truncated to fewer planes than the header claims (bitrate truncation),
     returns the planes actually present; `max_n_q` further caps depth."""
     header, off = BitstreamHeader.from_bytes(blob)
+    # structural sanity before any decode work: every writer in this package
+    # sets num_frames == ceil(orig_len / hop) exactly, so a mismatch means a
+    # corrupt header — without this, a corrupted num_frames (u32) would send
+    # the arithmetic decoder off to decode billions of symbols (fuzz-found)
+    if not (1 <= header.bits <= 16):
+        raise BitstreamError(f"bits out of range: {header.bits}")
+    if header.hop < 1 or header.sample_rate < 1 or header.n_q < 1:
+        raise BitstreamError("corrupt header field")
+    if header.num_frames != -(-header.orig_len // header.hop):
+        raise BitstreamError(
+            "inconsistent header: num_frames does not match orig_len/hop"
+        )
     if header.flags & FLAG_ENTROPY:
         from nsc_tpu import entropy
 

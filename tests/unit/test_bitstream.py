@@ -111,3 +111,70 @@ def test_truncate_rejects_incomplete_entropy_payload():
     ok = B.truncate(chopped, 2)
     _, idx2 = B.deserialize(ok)
     np.testing.assert_array_equal(idx2, idx[:, :2])
+
+
+def test_fuzz_corrupt_streams_never_crash():
+    """Robustness: deserialize/truncate on corrupted, truncated, or random
+    blobs must raise BitstreamError/ValueError — never crash, hang, or
+    silently return malformed planes (SURVEY.md §3 #8 hardening)."""
+    import numpy as np
+
+    from nsc_tpu import bitstream as B
+
+    rng = np.random.RandomState(0)
+    idx = rng.randint(0, 255, size=(50, 4)).astype(np.int32)
+    header = B.BitstreamHeader(
+        model_name="small", bits=8, n_q=4, sample_rate=16000, hop=320,
+        num_frames=50, orig_len=16000, flags=0,
+    )
+    blob = B.serialize(header, idx)
+
+    for trial in range(300):
+        kind = trial % 3
+        if kind == 0:  # truncate at a random point
+            bad = blob[: rng.randint(0, len(blob))]
+        elif kind == 1:  # flip random bytes
+            arr = bytearray(blob)
+            for _ in range(rng.randint(1, 8)):
+                arr[rng.randint(len(arr))] = rng.randint(256)
+            bad = bytes(arr)
+        else:  # pure noise with a valid-looking length
+            bad = rng.bytes(rng.randint(1, len(blob)))
+        try:
+            h, got = B.deserialize(bad)
+            # if it parsed, the result must at least be structurally sound
+            assert got.ndim == 2 and got.shape[0] == h.num_frames
+        except (B.BitstreamError, ValueError):
+            pass
+        try:
+            B.truncate(bad, 2)
+        except (B.BitstreamError, ValueError):
+            pass
+
+
+def test_fuzz_corrupt_entropy_streams_never_crash():
+    import numpy as np
+
+    from nsc_tpu import bitstream as B
+
+    rng = np.random.RandomState(1)
+    idx = rng.randint(0, 255, size=(50, 2)).astype(np.int32)
+    header = B.BitstreamHeader(
+        model_name="small", bits=8, n_q=2, sample_rate=16000, hop=320,
+        num_frames=50, orig_len=16000, flags=B.FLAG_ENTROPY,
+    )
+    blob = B.serialize(header, idx)
+    ok = B.deserialize(blob)[1]
+    assert np.array_equal(ok, idx)
+    for trial in range(150):
+        if trial % 2 == 0:
+            bad = blob[: rng.randint(0, len(blob))]
+        else:
+            arr = bytearray(blob)
+            arr[rng.randint(len(arr))] = rng.randint(256)
+            bad = bytes(arr)
+        try:
+            h, got = B.deserialize(bad)
+            assert got.ndim == 2 and got.shape[0] == h.num_frames
+        except (B.BitstreamError, ValueError):
+            pass
