@@ -83,7 +83,8 @@ def load_model(
 
 
 def quantize_model(
-    bundle: ModelBundle, calibration_wavs=None, *, seconds: float = 2.0
+    bundle: ModelBundle, calibration_wavs=None, *, seconds: float = 2.0,
+    per_channel: bool = False,
 ) -> ModelBundle:
     """Return an int8-serving bundle with STATICALLY calibrated activation
     scales (ops/quant.py): `calibration_wavs` (iterable of (N, T) float32
@@ -104,7 +105,8 @@ def quantize_model(
         it = src.batches(2, seg)
         calibration_wavs = [next(it) for _ in range(3)]
     params = quant_lib.calibrate_codec(
-        model, bundle.params, bundle.rvq, calibration_wavs
+        model, bundle.params, bundle.rvq, calibration_wavs,
+        per_channel=per_channel,
     )
     return ModelBundle(model, params, bundle.rvq)
 

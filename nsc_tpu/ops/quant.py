@@ -29,6 +29,7 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from nsc_tpu.ops.conv import materialize_weight
@@ -49,19 +50,47 @@ def _quantize_weight(w: jax.Array):
 
 
 def _quantize_act(x: jax.Array, static_amax: Optional[jax.Array] = None):
-    """(..., C) -> (int8, scalar f32 scale). Per-tensor symmetric; dynamic
-    amax unless a calibrated static amax ("a_s" param leaf) is supplied."""
+    """(..., C) -> (int8, scale). Symmetric; dynamic per-tensor amax unless a
+    calibrated static amax ("a_s" param leaf) is supplied — a scalar
+    (per-tensor) or a (Cin,) vector (per-channel, folded into the weights by
+    the conv: out = sum_c (w_c * s_c) x8_c, so it costs nothing at runtime).
+    During calibration the recorder captures PER-CHANNEL amax (max over
+    batch/time); per-tensor use reduces it again."""
     if static_amax is None:
-        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        a = jnp.max(jnp.abs(x.astype(jnp.float32)))
         if _RECORD is not None:
-            _RECORD.append(float(amax))
+            per_ch = jnp.max(
+                jnp.abs(x.astype(jnp.float32)),
+                axis=tuple(range(x.ndim - 1)),
+            )
+            _RECORD.append(np.asarray(per_ch))
+        amax = a
     else:
         amax = static_amax.astype(jnp.float32)
-    scale = jnp.maximum(amax, 1e-12) / 127.0
+    scale = jnp.maximum(amax, 1e-12) / 127.0  # scalar or (Cin,)
     x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(
         jnp.int8
     )
     return x8, scale
+
+
+def _quantize_pair(x, params):
+    """Quantize (activations, weights) for one conv site.
+
+    Per-CHANNEL static scales (vector "a_s") are folded into the weights
+    before weight quantization — out = sum_c (w_c * s_c) x8_c — so the
+    per-channel precision costs nothing at runtime: the dequant factor is
+    the per-out-channel weight scale alone."""
+    w = materialize_weight(params).astype(jnp.float32)
+    a_s = params.get("a_s")
+    if a_s is not None and a_s.ndim == 1:
+        s_c = jnp.maximum(a_s.astype(jnp.float32), 1e-12) / 127.0  # (Cin,)
+        x8, _ = _quantize_act(x, a_s)
+        w8, sw = _quantize_weight(w * s_c[None, :, None])
+        return x8, w8, sw
+    x8, sx = _quantize_act(x, a_s)
+    w8, sw = _quantize_weight(w)
+    return x8, w8, sx * sw
 
 
 def conv1d_int8(
@@ -73,10 +102,8 @@ def conv1d_int8(
     padding: str = "causal",
 ) -> jax.Array:
     """W8A8 causal conv, same semantics as ops.conv.conv1d."""
-    w = materialize_weight(params).astype(jnp.float32)
-    w8, sw = _quantize_weight(w)
-    x8, sx = _quantize_act(x, params.get("a_s"))
-    k = w.shape[0]
+    x8, w8, deq = _quantize_pair(x, params)
+    k = w8.shape[0]
     eff = (k - 1) * dilation
     if padding == "causal":
         pads = [(eff, 0)]
@@ -94,7 +121,7 @@ def conv1d_int8(
         dimension_numbers=_DIMENSION_NUMBERS,
         preferred_element_type=jnp.int32,
     )
-    y = y32.astype(jnp.float32) * (sx * sw)
+    y = y32.astype(jnp.float32) * deq
     if "b" in params:
         y = y + params["b"].astype(jnp.float32)
     return y.astype(x.dtype)
@@ -104,10 +131,8 @@ def conv_transpose1d_int8(
     x: jax.Array, params, *, stride: int
 ) -> jax.Array:
     """W8A8 causal transposed conv, same semantics as ops.conv version."""
-    w = materialize_weight(params).astype(jnp.float32)
-    w8, sw = _quantize_weight(w)
-    x8, sx = _quantize_act(x, params.get("a_s"))
-    k = w.shape[0]
+    x8, w8, deq = _quantize_pair(x, params)
+    k = w8.shape[0]
     y32 = lax.conv_general_dilated(
         x8, jnp.flip(w8, axis=0),
         window_strides=(1,),
@@ -119,7 +144,7 @@ def conv_transpose1d_int8(
     trim = k - stride
     if trim > 0:
         y32 = y32[:, :-trim, :]
-    y = y32.astype(jnp.float32) * (sx * sw)
+    y = y32.astype(jnp.float32) * deq
     if "b" in params:
         y = y + params["b"].astype(jnp.float32)
     return y.astype(x.dtype)
@@ -154,11 +179,21 @@ def _conv_sites(params):
     yield d["final"]
 
 
-def calibrate_codec(model, params, rvq, wav_batches) -> dict:
+def calibrate_codec(
+    model, params, rvq, wav_batches, *, per_channel: bool = False
+) -> dict:
     """Observe per-conv-site activation amax on representative audio and
-    return params with an "a_s" (static amax, f32 scalar) leaf injected into
-    every conv param dict. Serving with these params + quant="int8" then
-    uses constant scales — no dynamic amax passes in the compiled graph.
+    return params with an "a_s" static-amax leaf injected into every conv
+    param dict — a scalar (per-tensor) by default, or a (Cin,) per-channel
+    vector with per_channel=True (folded into the weight quantization, see
+    _quantize_pair). MEASURED on the trained checkpoint: per-channel is
+    WORSE here (0.44 vs 0.88 index agreement with float) — folding the
+    activation scales multiplies the weight dynamic range by the channel
+    spread, and the per-out-channel weight quantization loses more
+    precision than the finer activation scales gain. Kept as an option for
+    models with milder weight spread. Serving with these params +
+    quant="int8" then uses constant scales — no dynamic amax passes in the
+    compiled graph.
 
     `model.cfg.quant` must be "int8" (the recorder hooks the int8 conv
     path); runs eagerly (unjitted), so a few short batches suffice.
@@ -178,8 +213,10 @@ def calibrate_codec(model, params, rvq, wav_batches) -> dict:
             site_amax = rec
         else:
             assert len(rec) == len(site_amax), "conv call order changed"
-            site_amax = [max(a, b) for a, b in zip(site_amax, rec)]
+            site_amax = [np.maximum(a, b) for a, b in zip(site_amax, rec)]
     assert site_amax, "no calibration batches given"
+    if not per_channel:  # reduce each site's (Cin,) record to one scalar
+        site_amax = [np.max(a) for a in site_amax]
 
     sites = list(_conv_sites(params))
     assert len(sites) == len(site_amax), (
@@ -194,7 +231,7 @@ def calibrate_codec(model, params, rvq, wav_batches) -> dict:
         if isinstance(node, dict):
             new = {k: rebuild(v) for k, v in node.items()}
             if id(node) in flat:
-                new["a_s"] = jnp.float32(flat[id(node)])
+                new["a_s"] = jnp.asarray(flat[id(node)], jnp.float32)
             return new
         if isinstance(node, list):
             return [rebuild(v) for v in node]
