@@ -14,7 +14,9 @@ Compile excluded (one warmup), bf16 compute, f32 RVQ distances (parity).
 """
 
 import dataclasses
+import glob
 import json
+import os
 import time
 
 import jax
@@ -22,26 +24,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _flagship():
+    """The flagship serving bundle: the TRAINED base_fast checkpoint when the
+    artifact exists (its trained activation IS the fast serving activation,
+    so the headline path is the checkpoint's own parity lowering — VERDICT
+    r2 item 1), random-init base_fast otherwise."""
+    from nsc_tpu import api
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    ckpts = sorted(glob.glob(os.path.join(here, "artifacts", "base_fast_*")))
+    ckpt = ckpts[-1] if ckpts else None
+    bundle = api.load_model("base_fast", checkpoint=ckpt, serving=True)
+    return bundle, (os.path.relpath(ckpt, here) if ckpt else None)
+
+
 def main() -> None:
-    from nsc_tpu.configs import get_config
-    from nsc_tpu.models.codec import init_codec
+    from nsc_tpu import api
     from nsc_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     # Backends picked by measurement (docs/PERFORMANCE.md): native XLA convs
     # beat the matmul reformulations end-to-end (stacked pays HBM
     # transposes); fused Pallas RVQ for the quantizer; polynomial-sine snake
-    # (8e-5 max activation deviation, ~100x under bf16 resolution) for the
-    # serving path — XLA's precise
-    # sin was 78% of runtime.
-    cfg = dataclasses.replace(
-        get_config("base"),
-        compute_dtype="bfloat16",
-        rvq_backend="pallas",
-        activation="snake_fast",
-        unit_backend="auto",  # CT-layout fused stage kernel (r2: 1450->2900x)
-    )
-    model, params, rvq = init_codec(jax.random.PRNGKey(0), cfg)
+    # for the serving path — XLA's precise sin was 78% of runtime. The model
+    # is TRAINED with snake_fast (configs/base.py::base_fast), so the fast
+    # path needs no activation approximation at all.
+    bundle, ckpt = _flagship()
+    model, params, rvq = bundle.model, bundle.params, bundle.rvq
+    cfg = bundle.cfg
 
     batch, seconds = 64, 10.0
     t = int(seconds * cfg.sample_rate)
@@ -65,6 +75,39 @@ def main() -> None:
 
     audio_seconds = batch * seconds
     rtf = audio_seconds / wall
+
+    # Index parity of the measured path (VERDICT r2 item 1: the headline
+    # number must carry its parity status in the JSON itself, not in prose).
+    # (a) serving path vs its own reference lowering at the SAME serving
+    #     dtype (reference convs + XLA RVQ scan, identical activation — the
+    #     checkpoint is TRAINED with snake_fast, so no activation
+    #     approximation is involved): measures whether the Pallas kernels
+    #     change any archived index.
+    # (b) serving path vs the f32 archival parity path (load_model default):
+    #     the cross-dtype stability rate (bf16 rounding near argmin ties).
+    from nsc_tpu.models.codec import NeuralSpeechCodec
+
+    pw = wav[:8]
+    ref_cfg = dataclasses.replace(
+        cfg, unit_backend="reference", rvq_backend="xla"
+    )
+    f32_cfg = dataclasses.replace(ref_cfg, compute_dtype="float32")
+    idx_serv = np.asarray(
+        jax.jit(lambda p, q, w: model.encode(p, q, w))(params, rvq, pw)
+    )
+    idx_ref = np.asarray(
+        jax.jit(
+            lambda p, q, w: NeuralSpeechCodec(ref_cfg).encode(p, q, w)
+        )(params, rvq, pw)
+    )
+    idx_f32 = np.asarray(
+        jax.jit(
+            lambda p, q, w: NeuralSpeechCodec(f32_cfg).encode(p, q, w)
+        )(params, rvq, pw)
+    )
+    match_ref = float((idx_serv == idx_ref).mean())
+    match_f32 = float((idx_serv == idx_f32).mean())
+
     print(
         json.dumps(
             {
@@ -72,6 +115,10 @@ def main() -> None:
                 "value": round(rtf, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 250.0, 3),
+                "checkpoint": ckpt,
+                "index_parity_exact": bool(match_ref == 1.0),
+                "index_match_vs_reference_lowering": round(match_ref, 6),
+                "index_match_vs_f32_parity": round(match_f32, 6),
             }
         )
     )

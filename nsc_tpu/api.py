@@ -173,6 +173,19 @@ def _as_batch(wav: ArrayLike) -> tuple[np.ndarray, bool]:
 # ---------------------------------------------------------------------------
 
 
+def codebook_fingerprint(rvq: dict) -> int:
+    """u32 CRC-32 of the RVQ codebooks. Streams carry this in their header
+    (bitstream.FLAG_FINGERPRINT) so a stream from one checkpoint can't be
+    silently decoded by a same-config model with DIFFERENT codebooks. The
+    CRC is taken over the float32 canonical form of the codebooks as loaded
+    (serving-path dtype casts happen later, inside ops), so serving and
+    parity bundles of the same checkpoint agree."""
+    import zlib
+
+    cb = np.ascontiguousarray(np.asarray(rvq["codebooks"], np.float32))
+    return zlib.crc32(cb.tobytes()) & 0xFFFFFFFF
+
+
 def encode(
     bundle: ModelBundle, wav: ArrayLike, n_q: Optional[int] = None
 ) -> np.ndarray:
@@ -228,6 +241,9 @@ def compress(
         raise ValueError("compress takes a single (T,) waveform")
     cfg = bundle.cfg
     idx = encode(bundle, arr, n_q=n_q)
+    flags = bitstream.FLAG_FINGERPRINT
+    if entropy_coding:
+        flags |= bitstream.FLAG_ENTROPY
     header = bitstream.BitstreamHeader(
         model_name=cfg.name,
         bits=cfg.bits_per_codebook,
@@ -236,7 +252,8 @@ def compress(
         hop=cfg.hop,
         num_frames=idx.shape[0],
         orig_len=arr.shape[0],
-        flags=bitstream.FLAG_ENTROPY if entropy_coding else 0,
+        flags=flags,
+        fingerprint=codebook_fingerprint(bundle.rvq),
     )
     return bitstream.serialize(header, idx)
 
@@ -262,5 +279,16 @@ def decompress(
             f"loaded model {cfg.name!r} (sr={cfg.sample_rate}, hop={cfg.hop}, "
             f"bits={cfg.bits_per_codebook}) is incompatible"
         )
+    # config identity is necessary but not sufficient: two checkpoints of the
+    # same config differ in codebooks and decode each other's streams to
+    # garbage. Streams written by this package carry a codebook CRC.
+    if header.flags & bitstream.FLAG_FINGERPRINT:
+        have = codebook_fingerprint(bundle.rvq)
+        if header.fingerprint != have:
+            raise bitstream.BitstreamError(
+                f"codebook fingerprint mismatch: stream was encoded with "
+                f"codebooks {header.fingerprint:#010x}, loaded model has "
+                f"{have:#010x} (same config, different checkpoint?)"
+            )
     wav = decode(bundle, idx)
     return wav[: header.orig_len]

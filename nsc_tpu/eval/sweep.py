@@ -46,6 +46,10 @@ def bitrate_sweep(
             "pesq_proxy": quality.pesq_proxy(wavs, recon, cfg.sample_rate),
             "stoi_proxy": quality.stoi_proxy(wavs, recon, cfg.sample_rate),
         }
+        try:  # faithful Taal et al. 2011 (needs >=30 active frames)
+            row["stoi"] = quality.stoi(wavs, recon, cfg.sample_rate)
+        except ValueError:
+            pass
         if ref_idx is not None:
             row["index_match"] = quality.codebook_match_rate(
                 idx, ref_idx[..., :n_q]
@@ -77,15 +81,18 @@ def main(argv=None) -> int:
     if args.json:
         print(json.dumps(rows))
     else:
-        print(f"{'n_q':>4} {'kbps':>7} {'SI-SNR':>8} {'melDist':>8} {'PESQ*':>6} {'STOI*':>6}")
+        print(f"{'n_q':>4} {'kbps':>7} {'SI-SNR':>8} {'melDist':>8} "
+              f"{'PESQ*':>6} {'STOI*':>6} {'STOI':>6}")
         for r in rows:
             print(
                 f"{r['n_q']:>4} {r['bitrate_bps']/1000:>7.2f} "
                 f"{r['si_snr_db']:>8.2f} {r['mel_distance']:>8.3f} "
-                f"{r['pesq_proxy']:>6.2f} {r['stoi_proxy']:>6.3f}"
+                f"{r['pesq_proxy']:>6.2f} {r['stoi_proxy']:>6.3f} "
+                f"{r.get('stoi', float('nan')):>6.3f}"
             )
-        print("(* proxies — PESQ: fwSegSNR-based, not ITU-T P.862; STOI: "
-              "envelope-correlation, not Taal et al.; see eval/quality.py)")
+        print("(PESQ*: fwSegSNR proxy, not ITU-T P.862. STOI*: "
+              "envelope-correlation proxy. STOI: faithful Taal et al. 2011 "
+              "— see eval/quality.py)")
     return 0
 
 

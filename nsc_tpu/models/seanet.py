@@ -77,6 +77,21 @@ def _act(cfg: CodecConfig, x: jax.Array, p) -> jax.Array:
     return C.activation(cfg.activation, x, p)
 
 
+def _ct_stage_supported(cfg: CodecConfig) -> bool:
+    """Structural support gate for the CT stage kernels: the kernel hardcodes
+    k=3 dilated conv1 + k=1 conv2 and carries sum(2*d) lanes of left context
+    in a fixed CARRY_CT-wide VMEM scratch, so any config outside that (e.g.
+    dilations (1,3,9,27,81) => halo 242 > 128, or residual_kernel != 3) must
+    fall back to the reference ops instead of hitting the kernel's assert
+    (ADVICE r2 medium)."""
+    from nsc_tpu.ops.pallas import residual_stack as RS
+
+    return (
+        cfg.residual_kernel == 3
+        and sum(2 * d for d in cfg.dilations) <= RS.CARRY_CT
+    )
+
+
 def _unit_stack(
     cfg: CodecConfig, h: jax.Array, units, padding: str
 ) -> jax.Array:
@@ -101,6 +116,7 @@ def _unit_stack(
         (cfg.unit_backend == "pallas_ct" or cfg.unit_backend == "auto")
         and ct_ok and snakeish and padding == "causal"
         and cfg.quant == "none" and on_tpu
+        and _ct_stage_supported(cfg)
     ):
         from nsc_tpu.ops.pallas import residual_stack as RS
 
@@ -114,6 +130,7 @@ def _unit_stack(
         cfg.unit_backend == "pallas_fused"
         and snakeish and padding == "causal"
         and cfg.quant == "none" and on_tpu
+        and cfg.residual_kernel == 3
     ):
         from nsc_tpu.ops.pallas import residual_stack as RS
 
@@ -154,6 +171,8 @@ def _fused_boundary_mode(cfg: CodecConfig, dtype) -> str | None:
     min_c = 16 if dtype == jnp.bfloat16 else 8
     widths = _stage_widths(cfg) + [encoder_final_width(cfg)]
     if not all(w >= min_c and w % min_c == 0 for w in widths):
+        return None
+    if not _ct_stage_supported(cfg):
         return None
     if jax.default_backend() == "tpu":
         return "compiled"

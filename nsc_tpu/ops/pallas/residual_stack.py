@@ -154,7 +154,7 @@ def residual_stack_pallas(
         ),
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # packed signal; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # packed signal; manual DMA
             pl.BlockSpec(w1.shape, lambda ib, jt: (0,) * 4, memory_space=pltpu.VMEM),
             pl.BlockSpec(b1.shape, lambda ib, jt: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(a1.shape, lambda ib, jt: (0, 0), memory_space=pltpu.VMEM),

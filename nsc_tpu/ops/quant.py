@@ -59,6 +59,13 @@ def _quantize_act(x: jax.Array, static_amax: Optional[jax.Array] = None):
     if static_amax is None:
         a = jnp.max(jnp.abs(x.astype(jnp.float32)))
         if _RECORD is not None:
+            if isinstance(x, jax.core.Tracer):
+                raise RuntimeError(
+                    "int8 calibration requires an EAGER forward pass: the "
+                    "recorder pulls concrete amax values, but this conv saw "
+                    "a tracer (the reconstruct path is jitted). Run "
+                    "calibrate_codec outside jit."
+                )
             per_ch = jnp.max(
                 jnp.abs(x.astype(jnp.float32)),
                 axis=tuple(range(x.ndim - 1)),
@@ -202,6 +209,12 @@ def calibrate_codec(
     """
     global _RECORD
     assert model.cfg.quant == "int8", "set cfg.quant='int8' for calibration"
+    # NOTE: the module-global recorder makes calibration single-threaded by
+    # construction; concurrent calibrate_codec calls would interleave
+    # records. Calibration is a one-shot offline pass, so we guard rather
+    # than thread a recorder object through every conv call (ADVICE r2).
+    if _RECORD is not None:
+        raise RuntimeError("calibrate_codec is not reentrant/thread-safe")
     site_amax = None
     for wav in wav_batches:
         _RECORD = []

@@ -70,10 +70,38 @@ def restore(directory: str, target_state: Any) -> Tuple[int, Any]:
     try:
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target_state)
         state = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
-    except (ValueError, KeyError, TypeError):
+    except (ValueError, KeyError, TypeError) as orig:
+        # The fallback exists ONLY for stored trees that are a strict
+        # superset of the template (extra leaves, e.g. int8 "a_s" scales).
+        # A genuinely mismatched checkpoint must re-raise the structured
+        # error, not restore silently and explode later (ADVICE r2).
         state = mgr.restore(step, args=ocp.args.StandardRestore())
+        if not _is_superset(state, target_state):
+            mgr.close()
+            raise ValueError(
+                f"checkpoint at {directory} step {step} does not match the "
+                f"target structure (and is not a superset of it)"
+            ) from orig
     mgr.close()
     return step, state
+
+
+def _is_superset(stored: Any, template: Any) -> bool:
+    """True when every path/leaf of `template` exists in `stored` with the
+    same shape (extra leaves in `stored` are allowed)."""
+    tmpl_leaves = jax.tree_util.tree_flatten_with_path(template)[0]
+    stored_paths = {
+        jax.tree_util.keystr(path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(stored)[0]
+    }
+    for path, leaf in tmpl_leaves:
+        got = stored_paths.get(jax.tree_util.keystr(path))
+        if got is None:
+            return False
+        want_shape = getattr(leaf, "shape", None)
+        if want_shape is not None and getattr(got, "shape", None) != want_shape:
+            return False
+    return True
 
 
 def restore_inference(directory: str, params_template, rvq_template):

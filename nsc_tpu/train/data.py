@@ -117,13 +117,25 @@ class GrainWavSource:
                     paths.append(os.path.join(dirpath, f))
         if not paths:
             raise FileNotFoundError(f"no .wav files under {root}")
+        if (shard_index is None) != (shard_count is None):
+            raise ValueError(
+                "shard_index and shard_count must be provided together "
+                f"(got index={shard_index}, count={shard_count})"
+            )
         if shard_index is None:
             import jax
 
             shard_index = jax.process_index()
             shard_count = jax.process_count()
-        # contiguous-stride file sharding: each host sees a disjoint subset
-        self._paths = paths[shard_index :: max(shard_count, 1)] or paths
+        if not (0 <= shard_index < shard_count):
+            raise ValueError(f"shard_index {shard_index} not in [0, {shard_count})")
+        # contiguous-stride file sharding: each host sees a disjoint subset.
+        # More hosts than files => round-robin wrap (hosts may share a file
+        # but never silently get the FULL corpus — ADVICE r2).
+        if shard_count > len(paths):
+            self._paths = [paths[shard_index % len(paths)]]
+        else:
+            self._paths = paths[shard_index::shard_count]
 
     def batches(self, batch_size: int, segment_len: int) -> Iterator[np.ndarray]:
         import grain

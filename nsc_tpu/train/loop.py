@@ -68,6 +68,9 @@ def run(
     """Train; returns the last metrics dict. Restartable: picks up from the
     latest checkpoint in workdir (fault-recovery contract, SURVEY.md §6)."""
     steps = steps if steps is not None else tcfg.steps
+    from nsc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # restarts skip the multi-minute step compile
     mesh = make_mesh()
     n_dev = mesh.devices.size
     if tcfg.batch_size % n_dev:
@@ -102,6 +105,51 @@ def run(
     if resume and os.path.exists(best_path):
         with open(best_path) as f:
             best = float(json.load(f)["value"])
+
+    # Async checkpointing (SURVEY.md §6): the training thread only takes a
+    # device-side snapshot (one async device program — a copy into a fresh
+    # flat buffer, so the live state stays donatable) and hands it to a
+    # writer thread that does the slow d2h pull + orbax save. On the
+    # tunneled-TPU rig the pull is ~3 min for a ~230 MB GAN state (relay
+    # bulk d2h ~1-2 MB/s); overlapped, training never stalls on it. At most
+    # one write in flight (join before the next snapshot) bounds device
+    # memory at state + one flat copy.
+    import threading
+
+    from nsc_tpu.utils.transfer import bundled_snapshot
+
+    writer: Optional[threading.Thread] = None
+    writer_err: list = []
+
+    def _write(snap, step1, improved, best_val):
+        try:
+            host_state = snap.materialize()
+            ckpt.save(
+                train_dir, step1, host_state,
+                max_to_keep=tcfg.keep_checkpoints,
+                keep_period=tcfg.keep_period or None,
+            )
+            ckpt.save_inference(
+                os.path.join(workdir, "infer"), step1,
+                host_state["params_g"], host_state["rvq"],
+            )
+            if improved:
+                ckpt.save_inference(
+                    os.path.join(workdir, "infer_best"), step1,
+                    host_state["params_g"], host_state["rvq"],
+                )
+                with open(best_path, "w") as f:
+                    json.dump(
+                        {"metric": tcfg.best_metric, "value": best_val,
+                         "step": step1}, f,
+                    )
+        except BaseException as e:  # surface on the training thread
+            writer_err.append(e)
+
+    # window of best-metric values observed at log points since the last
+    # checkpoint: best-model selection compares a MEAN over the window, not
+    # a single minibatch's noisy loss (ADVICE r2)
+    metric_window: list = []
     t0 = time.time()
     # one-step host->device prefetch: the next batch transfers while the
     # current step runs (dispatch is async; transfer overlaps compute)
@@ -117,41 +165,34 @@ def run(
             m["steps_per_sec"] = rate
             t0 = time.time()
             logger.log(step + 1, m)
+            if tcfg.best_metric in m:
+                metric_window.append(m[tcfg.best_metric])
             print(
                 f"step {step+1}: g={m.get('loss/g_total', 0):.4f} "
                 f"d={m.get('loss/d_total', 0):.4f} "
                 f"mel={m.get('loss/mel', 0):.4f} ({rate:.2f} it/s)"
             )
         if (step + 1) % tcfg.checkpoint_every == 0 or step + 1 == steps:
-            # ONE bundled device->host transfer (utils/transfer.py): removes
-            # the per-leaf relay round-trips. NOTE the remaining checkpoint
-            # stall on the tunneled-TPU rig (~3 min for the ~230 MB GAN
-            # state) is raw d2h bandwidth, not leaf count — raise
-            # checkpoint_every for long runs there.
-            from nsc_tpu.utils.transfer import bundled_device_get
-
-            host_state = bundled_device_get(state)
-            ckpt.save(
-                train_dir, step + 1, host_state,
-                max_to_keep=tcfg.keep_checkpoints,
-                keep_period=tcfg.keep_period or None,
-            )
-            ckpt.save_inference(
-                os.path.join(workdir, "infer"), step + 1,
-                host_state["params_g"], host_state["rvq"],
-            )
-            val = float(metrics.get(tcfg.best_metric, np.inf))
-            if np.isfinite(val) and val < best:
+            if not metric_window:
+                metric_window.append(float(metrics.get(tcfg.best_metric, np.inf)))
+            val = float(np.mean(metric_window))
+            metric_window = []
+            improved = bool(np.isfinite(val) and val < best)
+            if improved:
                 best = val
-                ckpt.save_inference(
-                    os.path.join(workdir, "infer_best"), step + 1,
-                    host_state["params_g"], host_state["rvq"],
-                )
-                with open(best_path, "w") as f:
-                    json.dump(
-                        {"metric": tcfg.best_metric, "value": best,
-                         "step": step + 1}, f,
-                    )
+            if writer is not None:
+                writer.join()
+            if writer_err:
+                raise writer_err[0]
+            snap = bundled_snapshot(state)
+            writer = threading.Thread(
+                target=_write, args=(snap, step + 1, improved, best)
+            )
+            writer.start()
+    if writer is not None:
+        writer.join()
+    if writer_err:
+        raise writer_err[0]
     batches.close()
     logger.close()
     return {k: float(v) for k, v in metrics.items()}

@@ -41,26 +41,51 @@ def _pack(leaves):
     return jnp.concatenate(chunks) if chunks else jnp.zeros((0,), jnp.uint8)
 
 
-def bundled_device_get(tree):
-    """One-transfer equivalent of jax.tree.map(np.asarray, tree)."""
+class DeviceSnapshot:
+    """Device-side snapshot of a pytree: the packed flat uint8 buffer plus
+    rebuild metadata. Taking one is a single async device program (a copy —
+    the flat buffer is a FRESH output, so the source tree may be donated to
+    the next train step immediately). `materialize()` does the slow d2h pull
+    + rebuild; call it on a writer thread to overlap host I/O with compute
+    (async checkpointing, SURVEY.md §6)."""
+
+    def __init__(self, flat, specs, key_impls, treedef):
+        self._flat = flat
+        self._specs = specs  # ShapeDtypeStructs of the raw (unwrapped) leaves
+        self._key_impls = key_impls
+        self._treedef = treedef
+
+    def materialize(self):
+        flat = np.asarray(self._flat)  # ONE device->host transfer
+        out, off = [], 0
+        for spec, impl in zip(self._specs, self._key_impls):
+            n = spec.size * spec.dtype.itemsize
+            arr = np.frombuffer(
+                flat[off : off + n].tobytes(), dtype=spec.dtype
+            ).reshape(spec.shape)
+            off += n
+            if impl is not None:
+                arr = jax.random.wrap_key_data(jnp.asarray(arr), impl=impl)
+            out.append(arr)
+        assert off == flat.size, (off, flat.size)
+        return jax.tree.unflatten(self._treedef, out)
+
+
+def bundled_snapshot(tree) -> DeviceSnapshot:
+    """Snapshot `tree` into one flat device buffer (see DeviceSnapshot)."""
     leaves, treedef = jax.tree.flatten(tree)
-    if not leaves:
-        return tree
     raw, key_impls = [], []
     for l in leaves:
         r, impl = _unwrap(jnp.asarray(l))
         raw.append(r)
         key_impls.append(impl)
-    flat = np.asarray(_pack(raw))  # ONE device->host transfer
-    out, off = [], 0
-    for r, impl in zip(raw, key_impls):
-        n = r.size * r.dtype.itemsize
-        arr = np.frombuffer(
-            flat[off : off + n].tobytes(), dtype=r.dtype
-        ).reshape(r.shape)
-        off += n
-        if impl is not None:
-            arr = jax.random.wrap_key_data(jnp.asarray(arr), impl=impl)
-        out.append(arr)
-    assert off == flat.size, (off, flat.size)
-    return jax.tree.unflatten(treedef, out)
+    flat = _pack(raw) if raw else jnp.zeros((0,), jnp.uint8)
+    specs = [jax.ShapeDtypeStruct(r.shape, r.dtype) for r in raw]
+    return DeviceSnapshot(flat, specs, key_impls, treedef)
+
+
+def bundled_device_get(tree):
+    """One-transfer equivalent of jax.tree.map(np.asarray, tree)."""
+    if not jax.tree.leaves(tree):
+        return tree
+    return bundled_snapshot(tree).materialize()

