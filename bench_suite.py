@@ -53,17 +53,26 @@ def config1_cpu_single():
     """10 s WAV on CPU, smallest config."""
     import nsc_tpu
 
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        bundle = nsc_tpu.load_model("small")
-        wav = (np.random.RandomState(0).randn(160000) * 0.1).astype(np.float32)
-        blob = nsc_tpu.compress(bundle, wav)
-        s = time.perf_counter()
-        out = nsc_tpu.decompress(bundle, blob)
-        dt_dec = time.perf_counter() - s
-        s = time.perf_counter()
-        blob = nsc_tpu.compress(bundle, wav)
-        dt_enc = time.perf_counter() - s
+    # the persistent cache must not serve XLA:CPU entries here — they were
+    # compiled by the remote helper whose CPU features differ from this
+    # host (loading one hangs/SIGILLs; see utils/cache.py)
+    jax.config.update("jax_compilation_cache_dir", None)
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            bundle = nsc_tpu.load_model("small")
+            wav = (np.random.RandomState(0).randn(160000) * 0.1).astype(np.float32)
+            blob = nsc_tpu.compress(bundle, wav)
+            s = time.perf_counter()
+            out = nsc_tpu.decompress(bundle, blob)
+            dt_dec = time.perf_counter() - s
+            s = time.perf_counter()
+            blob = nsc_tpu.compress(bundle, wav)
+            dt_enc = time.perf_counter() - s
+    finally:
+        from nsc_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()  # back on for the TPU configs
     return {
         "config": 1,
         "desc": "10s WAV encode+decode, CPU, smallest config",

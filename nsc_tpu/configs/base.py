@@ -144,6 +144,14 @@ class TrainConfig:
     quantizer_dropout: float = 0.5
 
     checkpoint_every: int = 2000
+    # Pull the FULL train state (both optimizers + EMA, ~10x the inference
+    # params) only every this many steps; intermediate checkpoint boundaries
+    # export just the inference state (params_g + rvq). 0 = full every time.
+    # Rationale (measured, r3): on a relay-tunneled TPU the d2h pipe is
+    # ~1-2 MB/s, so a 429 MB full-state pull degrades training ~300 s per
+    # checkpoint even when async + chunked; the 42 MB inference state costs
+    # ~30 s. Fault-recovery granularity falls to full_state_every steps.
+    full_state_every: int = 10_000
     log_every: int = 50
     # eviction: keep the newest N train checkpoints (+ every keep_period-th
     # step as a permanent milestone; 0 = no milestones)

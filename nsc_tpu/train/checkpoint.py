@@ -3,8 +3,9 @@ recovery" and "Checkpoint / resume" rows).
 
 The FULL train state is saved — both optimizers, EMA codebook statistics and
 the PRNG key — so training restarts bit-identically from any checkpoint
-(restartability test: tests/integration/test_training.py). Saves are async
-(orbax background thread) so the TPU never idles on host I/O.
+(restartability test: tests/integration/test_training.py). Asynchrony lives
+in the TRAIN LOOP (train/loop.py: device-side snapshot + writer thread), not
+in orbax — see _manager below for why orbax's own async layer is off.
 """
 
 from __future__ import annotations
@@ -20,12 +21,18 @@ import orbax.checkpoint as ocp
 def _manager(
     directory: str, max_to_keep: int = 3, keep_period: Optional[int] = None
 ) -> ocp.CheckpointManager:
+    # Orbax's OWN async layer stays OFF: overlap comes from the train
+    # loop's writer thread (train/loop.py), and orbax's async commit
+    # machinery can deadlock in wait_until_finished when save() is invoked
+    # from a non-main thread (observed on the forced-CPU path: the commit
+    # future thread wedges in asyncio_utils.run_sync). A blocking save on
+    # the writer thread is exactly what we want.
     return ocp.CheckpointManager(
         os.path.abspath(directory),
         options=ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             keep_period=keep_period,
-            enable_async_checkpointing=True,
+            enable_async_checkpointing=False,
         ),
     )
 

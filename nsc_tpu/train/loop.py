@@ -110,25 +110,34 @@ def run(
     # device-side snapshot (one async device program — a copy into a fresh
     # flat buffer, so the live state stays donatable) and hands it to a
     # writer thread that does the slow d2h pull + orbax save. On the
-    # tunneled-TPU rig the pull is ~3 min for a ~230 MB GAN state (relay
-    # bulk d2h ~1-2 MB/s); overlapped, training never stalls on it. At most
+    # tunneled-TPU rig the pull is ~4-7 min for a ~430 MB GAN state (relay
+    # bulk d2h ~1-2 MB/s); overlapped, training keeps stepping. At most
     # one write in flight (join before the next snapshot) bounds device
     # memory at state + one flat copy.
+    #
+    # TPU-only: on the CPU runtime a writer-thread d2h pull concurrent with
+    # main-thread dispatch can deadlock (observed: Array._value wedged in
+    # one thread while the other waits — three distinct interleavings, all
+    # with both threads touching the client). CPU runs (tests) write
+    # synchronously inline — r2 behavior, known good. The FINAL checkpoint
+    # is synchronous everywhere: there is nothing left to overlap with.
     import threading
 
     from nsc_tpu.utils.transfer import bundled_snapshot
 
+    async_ckpt = jax.default_backend() == "tpu"
     writer: Optional[threading.Thread] = None
     writer_err: list = []
 
-    def _write(snap, step1, improved, best_val):
+    def _write(snap, step1, improved, best_val, full):
         try:
             host_state = snap.materialize()
-            ckpt.save(
-                train_dir, step1, host_state,
-                max_to_keep=tcfg.keep_checkpoints,
-                keep_period=tcfg.keep_period or None,
-            )
+            if full:
+                ckpt.save(
+                    train_dir, step1, host_state,
+                    max_to_keep=tcfg.keep_checkpoints,
+                    keep_period=tcfg.keep_period or None,
+                )
             ckpt.save_inference(
                 os.path.join(workdir, "infer"), step1,
                 host_state["params_g"], host_state["rvq"],
@@ -184,11 +193,27 @@ def run(
                 writer.join()
             if writer_err:
                 raise writer_err[0]
-            snap = bundled_snapshot(state)
-            writer = threading.Thread(
-                target=_write, args=(snap, step + 1, improved, best)
+            # full train state only every full_state_every steps (or at the
+            # end); inference-only (~10x smaller pull) otherwise — see
+            # TrainConfig.full_state_every
+            full = (
+                not tcfg.full_state_every
+                or (step + 1) % tcfg.full_state_every == 0
+                or step + 1 == steps
             )
-            writer.start()
+            snap = bundled_snapshot(
+                state if full
+                else {"params_g": state["params_g"], "rvq": state["rvq"]}
+            )
+            if async_ckpt and step + 1 < steps:
+                writer = threading.Thread(
+                    target=_write, args=(snap, step + 1, improved, best, full)
+                )
+                writer.start()
+            else:
+                _write(snap, step + 1, improved, best, full)
+                if writer_err:
+                    raise writer_err[0]
     if writer is not None:
         writer.join()
     if writer_err:

@@ -14,8 +14,15 @@ _DEFAULT_DIR = os.path.expanduser("~/.cache/nsc_tpu_xla")
 
 
 def enable_compilation_cache(directory: str | None = None) -> None:
+    """TPU-only on purpose: XLA:CPU cache entries are AOT-compiled machine
+    code, and in this environment compiles run on a remote helper whose CPU
+    features differ from the local host — loading such an entry hangs or
+    SIGILLs (observed: `cpu_aot_loader` feature-mismatch errors followed by
+    a wedged executable). TPU executables are target-specific and safe."""
     import jax
 
+    if jax.default_backend() != "tpu":
+        return
     d = directory or os.environ.get("NSC_TPU_CACHE_DIR", _DEFAULT_DIR)
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)

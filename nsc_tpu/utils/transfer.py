@@ -55,8 +55,21 @@ class DeviceSnapshot:
         self._key_impls = key_impls
         self._treedef = treedef
 
-    def materialize(self):
-        flat = np.asarray(self._flat)  # ONE device->host transfer
+    def materialize(self, chunk_bytes: int = 8 << 20):
+        """Pull + rebuild. The pull is CHUNKED (default 8 MB slices): on a
+        relay-tunneled TPU a single bulk transfer serializes the connection
+        for minutes, starving concurrent train-step dispatches (measured:
+        0.24 steps/s during a 429 MB pull vs 4.2 nominal). Chunking bounds
+        each exclusive occupancy to ~chunk/bandwidth so the training thread
+        interleaves; total pull time is unchanged (bandwidth-bound)."""
+        n = int(self._flat.size)
+        if n <= chunk_bytes:
+            flat = np.asarray(self._flat)  # one device->host transfer
+        else:
+            flat = np.empty((n,), np.uint8)
+            for a in range(0, n, chunk_bytes):
+                b = min(a + chunk_bytes, n)
+                flat[a:b] = np.asarray(self._flat[a:b])
         out, off = [], 0
         for spec, impl in zip(self._specs, self._key_impls):
             n = spec.size * spec.dtype.itemsize
@@ -80,6 +93,12 @@ def bundled_snapshot(tree) -> DeviceSnapshot:
         raw.append(r)
         key_impls.append(impl)
     flat = _pack(raw) if raw else jnp.zeros((0,), jnp.uint8)
+    # 1-element readback = relay-safe completion barrier (block_until_ready
+    # is a no-op through the relay): guarantees the pack has executed on
+    # the dispatching thread before the buffer is handed to a writer
+    # thread. Costs one tiny RPC.
+    if flat.size:
+        np.asarray(flat[:1])
     specs = [jax.ShapeDtypeStruct(r.shape, r.dtype) for r in raw]
     return DeviceSnapshot(flat, specs, key_impls, treedef)
 
