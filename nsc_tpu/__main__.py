@@ -86,10 +86,16 @@ def main(argv=None) -> int:
         h, off = BitstreamHeader.from_bytes(blob)
         dur = h.orig_len / h.sample_rate
         bitrate = (len(blob) - off) * 8 / dur if dur else 0.0
+        from nsc_tpu.bitstream import FLAG_FINGERPRINT
+
+        fp = (
+            f" codebook_fp={h.fingerprint:#010x}"
+            if h.flags & FLAG_FINGERPRINT else ""
+        )
         print(
             f"model={h.model_name} sr={h.sample_rate} hop={h.hop} "
             f"n_q={h.n_q} bits={h.bits} frames={h.num_frames} "
-            f"duration={dur:.2f}s payload_bitrate={bitrate/1000:.2f}kbps"
+            f"duration={dur:.2f}s payload_bitrate={bitrate/1000:.2f}kbps{fp}"
         )
         return 0
 
@@ -125,11 +131,17 @@ def main(argv=None) -> int:
                 for i in range(0, len(padded), chunk)
             ]
             idx = np.concatenate(parts, axis=0)
+            from nsc_tpu.api import codebook_fingerprint
+
+            flags = bitstream.FLAG_FINGERPRINT
+            if args.entropy:
+                flags |= bitstream.FLAG_ENTROPY
             header = bitstream.BitstreamHeader(
                 model_name=cfg.name, bits=cfg.bits_per_codebook,
                 n_q=idx.shape[-1], sample_rate=cfg.sample_rate, hop=hop,
                 num_frames=idx.shape[0], orig_len=len(wav),
-                flags=bitstream.FLAG_ENTROPY if args.entropy else 0,
+                flags=flags,
+                fingerprint=codebook_fingerprint(bundle.rvq),
             )
             blob = bitstream.serialize(header, idx)
         else:
