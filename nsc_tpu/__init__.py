@@ -26,6 +26,8 @@ _API_NAMES = (
     "list_models",
     "load_model",
     "quantize_model",
+    "streaming_compress",
+    "streaming_decompress",
 )
 
 

@@ -1,10 +1,15 @@
 """CLI: compress/decompress WAV files from the command line (SURVEY.md §3 #21).
 
   python -m nsc_tpu compress   in.wav out.nsc [--model base] [--n-q 8]
-  python -m nsc_tpu decompress in.nsc out.wav [--model base]
+  python -m nsc_tpu decompress in.nsc out.wav [--model base] [--streaming 1.0]
   python -m nsc_tpu roundtrip  in.wav out.wav [--model base] [--n-q 8]
+  python -m nsc_tpu eval       ref.wav [deg.wav] [--model base] [--n-q 8]
   python -m nsc_tpu info       in.nsc
   python -m nsc_tpu models
+
+(`eval` with one file scores a codec round-trip of it; with two files it
+scores deg against ref directly.  The bitrate-sweep harness is separate:
+`python -m nsc_tpu.eval --model base --data <dir>` — SURVEY.md §3 #19.)
 """
 
 from __future__ import annotations
@@ -50,6 +55,11 @@ def _build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("decompress", help="nsc bitstream -> wav")
     d.add_argument("input"), d.add_argument("output")
     d.add_argument("--n-q", type=int, default=None)
+    d.add_argument(
+        "--streaming", type=float, default=None, metavar="SECONDS",
+        help="decode in chunks of this many seconds through the streaming "
+        "decoder (bounded memory for long streams)",
+    )
     add_model_args(d)
 
     r = sub.add_parser("roundtrip", help="wav -> codes -> wav")
@@ -57,11 +67,53 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--n-q", type=int, default=None)
     add_model_args(r)
 
+    e = sub.add_parser(
+        "eval", help="quality metrics: ref vs deg, or a codec round-trip"
+    )
+    e.add_argument("reference", help="clean/reference wav")
+    e.add_argument(
+        "degraded", nargs="?", default=None,
+        help="degraded wav; omitted = round-trip `reference` through the model",
+    )
+    e.add_argument("--n-q", type=int, default=None)
+    e.add_argument("--json", action="store_true", help="machine-readable output")
+    add_model_args(e)
+
     i = sub.add_parser("info", help="print bitstream header")
     i.add_argument("input")
 
     sub.add_parser("models", help="list model configs")
     return p
+
+
+def _print_quality(ref, deg, sample_rate, as_json, extra=None) -> int:
+    """Score deg against ref with the full SURVEY.md §3 #19 metric set."""
+    import json
+
+    from nsc_tpu.eval import quality
+
+    m = dict(extra or {})
+    m["si_snr_db"] = round(quality.si_snr(ref, deg), 3)
+    m["snr_db"] = round(quality.snr(ref, deg), 3)
+    m["mel_distance"] = round(quality.mel_distance(ref, deg, sample_rate), 4)
+    m["fw_seg_snr_db"] = round(quality.fw_seg_snr(ref, deg, sample_rate), 3)
+    m["pesq_proxy"] = round(quality.pesq_proxy(ref, deg, sample_rate), 3)
+    m["stoi_proxy"] = round(quality.stoi_proxy(ref, deg, sample_rate), 4)
+    try:  # faithful Taal et al. 2011 — needs >=30 active frames at 10 kHz
+        m["stoi"] = round(quality.stoi(ref, deg, sample_rate), 4)
+    except ValueError as e:
+        m["stoi_error"] = str(e)
+    if as_json:
+        print(json.dumps(m))
+    else:
+        for k, v in m.items():
+            print(f"{k:16s} {v}")
+        print(
+            "(pesq_proxy: fwSegSNR logistic, NOT ITU-T P.862; stoi: "
+            "faithful Taal et al. 2011; stoi_proxy: envelope-correlation "
+            "construction — see nsc_tpu/eval/quality.py)"
+        )
+    return 0
 
 
 def main(argv=None) -> int:
@@ -99,6 +151,16 @@ def main(argv=None) -> int:
         )
         return 0
 
+    if args.cmd == "eval" and args.degraded is not None:
+        # two-file scoring needs no model at all
+        from nsc_tpu.utils import audio
+
+        ref, sr = audio.load_wav(args.reference)
+        deg, dsr = audio.load_wav(args.degraded, target_sr=sr)
+        ref, deg = audio.to_mono(ref), audio.to_mono(deg)
+        n = min(len(ref), len(deg))
+        return _print_quality(ref[:n], deg[:n], sr, args.json)
+
     import nsc_tpu
     from nsc_tpu.utils import audio
 
@@ -113,37 +175,10 @@ def main(argv=None) -> int:
         wav, _ = audio.load_wav(args.input, target_sr=bundle.cfg.sample_rate)
         wav = audio.to_mono(wav)
         if args.streaming:
-            import numpy as np
-
-            from nsc_tpu import bitstream
-            from nsc_tpu.streaming import StreamingEncoder
-
-            cfg = bundle.cfg
-            hop = cfg.hop
-            chunk = max(hop, int(args.streaming * cfg.sample_rate) // hop * hop)
-            pad = (-len(wav)) % hop
-            padded = np.pad(wav, (0, pad))
-            enc = StreamingEncoder(
-                bundle.model, bundle.params, bundle.rvq, n_q=args.n_q
+            blob = nsc_tpu.streaming_compress(
+                bundle, wav, chunk_seconds=args.streaming, n_q=args.n_q,
+                entropy_coding=args.entropy,
             )
-            parts = [
-                enc.push(padded[i : i + chunk])
-                for i in range(0, len(padded), chunk)
-            ]
-            idx = np.concatenate(parts, axis=0)
-            from nsc_tpu.api import codebook_fingerprint
-
-            flags = bitstream.FLAG_FINGERPRINT
-            if args.entropy:
-                flags |= bitstream.FLAG_ENTROPY
-            header = bitstream.BitstreamHeader(
-                model_name=cfg.name, bits=cfg.bits_per_codebook,
-                n_q=idx.shape[-1], sample_rate=cfg.sample_rate, hop=hop,
-                num_frames=idx.shape[0], orig_len=len(wav),
-                flags=flags,
-                fingerprint=codebook_fingerprint(bundle.rvq),
-            )
-            blob = bitstream.serialize(header, idx)
         else:
             blob = nsc_tpu.compress(
                 bundle, wav, n_q=args.n_q, entropy_coding=args.entropy
@@ -155,10 +190,26 @@ def main(argv=None) -> int:
 
     if args.cmd == "decompress":
         blob = open(args.input, "rb").read()
-        wav = nsc_tpu.decompress(bundle, blob, n_q=args.n_q)
+        if args.streaming:
+            wav = nsc_tpu.streaming_decompress(
+                bundle, blob, chunk_seconds=args.streaming, n_q=args.n_q
+            )
+        else:
+            wav = nsc_tpu.decompress(bundle, blob, n_q=args.n_q)
         audio.save_wav(args.output, wav, bundle.cfg.sample_rate)
         print(f"wrote {args.output}: {len(wav)} samples")
         return 0
+
+    if args.cmd == "eval":
+        wav, _ = audio.load_wav(args.reference, target_sr=bundle.cfg.sample_rate)
+        wav = audio.to_mono(wav)
+        blob = nsc_tpu.compress(bundle, wav, n_q=args.n_q)
+        out = nsc_tpu.decompress(bundle, blob)[: len(wav)]
+        dur = len(wav) / bundle.cfg.sample_rate
+        extra = {"bitrate_kbps": round(len(blob) * 8 / dur / 1000, 3)} if dur else {}
+        return _print_quality(
+            wav, out, bundle.cfg.sample_rate, args.json, extra=extra
+        )
 
     if args.cmd == "roundtrip":
         wav, _ = audio.load_wav(args.input, target_sr=bundle.cfg.sample_rate)

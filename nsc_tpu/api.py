@@ -258,11 +258,8 @@ def compress(
     return bitstream.serialize(header, idx)
 
 
-def decompress(
-    bundle: ModelBundle, blob: bytes, n_q: Optional[int] = None
-) -> np.ndarray:
-    """Serialized bitstream -> (orig_len,) waveform."""
-    header, idx = bitstream.deserialize(blob, max_n_q=n_q)
+def _check_stream_identity(bundle: ModelBundle, header) -> None:
+    """Reject a stream the loaded model cannot faithfully decode."""
     cfg = bundle.cfg
     # Identity must match fully: distinct models can share sr/hop (and even
     # bits-per-book), but their codebooks differ, so a foreign stream would
@@ -290,5 +287,83 @@ def decompress(
                 f"codebooks {header.fingerprint:#010x}, loaded model has "
                 f"{have:#010x} (same config, different checkpoint?)"
             )
+
+
+def decompress(
+    bundle: ModelBundle, blob: bytes, n_q: Optional[int] = None
+) -> np.ndarray:
+    """Serialized bitstream -> (orig_len,) waveform."""
+    header, idx = bitstream.deserialize(blob, max_n_q=n_q)
+    _check_stream_identity(bundle, header)
     wav = decode(bundle, idx)
     return wav[: header.orig_len]
+
+
+def streaming_compress(
+    bundle: ModelBundle,
+    wav: ArrayLike,
+    chunk_seconds: float = 1.0,
+    n_q: Optional[int] = None,
+    *,
+    entropy_coding: bool = False,
+) -> bytes:
+    """compress() through the stateful chunked encoder (SURVEY.md §3 #10,
+    BASELINE.json:8): bounded memory for arbitrarily long inputs, indices
+    bit-identical to batch compress of the same audio (tested in
+    tests/integration/test_streaming.py). Requires a causal config."""
+    from nsc_tpu.streaming import StreamingEncoder
+
+    arr = np.asarray(wav, dtype=np.float32)
+    if arr.ndim != 1:
+        raise ValueError("streaming_compress takes a single (T,) waveform")
+    cfg = bundle.cfg
+    chunk = max(cfg.hop, int(chunk_seconds * cfg.sample_rate) // cfg.hop * cfg.hop)
+    padded = np.pad(arr, (0, (-len(arr)) % cfg.hop))
+    enc = StreamingEncoder(bundle.model, bundle.params, bundle.rvq, n_q=n_q)
+    idx = np.concatenate(
+        [enc.push(padded[i : i + chunk]) for i in range(0, len(padded), chunk)],
+        axis=0,
+    )
+    flags = bitstream.FLAG_FINGERPRINT
+    if entropy_coding:
+        flags |= bitstream.FLAG_ENTROPY
+    header = bitstream.BitstreamHeader(
+        model_name=cfg.name,
+        bits=cfg.bits_per_codebook,
+        n_q=idx.shape[-1],
+        sample_rate=cfg.sample_rate,
+        hop=cfg.hop,
+        num_frames=idx.shape[0],
+        orig_len=arr.shape[0],
+        flags=flags,
+        fingerprint=codebook_fingerprint(bundle.rvq),
+    )
+    return bitstream.serialize(header, idx)
+
+
+def streaming_decompress(
+    bundle: ModelBundle,
+    blob: bytes,
+    chunk_seconds: float = 1.0,
+    n_q: Optional[int] = None,
+) -> np.ndarray:
+    """decompress() through the stateful chunked decoder: bounded memory for
+    arbitrarily long streams. Chunks have a fixed frame count (one compiled
+    program); the final partial chunk is zero-padded and trimmed — trailing
+    pad frames cannot affect earlier samples of a causal decoder."""
+    from nsc_tpu.streaming import StreamingDecoder
+
+    header, idx = bitstream.deserialize(blob, max_n_q=n_q)
+    _check_stream_identity(bundle, header)
+    cfg = bundle.cfg
+    fpc = max(1, int(chunk_seconds * cfg.sample_rate) // cfg.hop)
+    dec = StreamingDecoder(bundle.model, bundle.params, bundle.rvq, n_q=n_q)
+    parts = []
+    for s in range(0, idx.shape[0], fpc):
+        c = idx[s : s + fpc]
+        got = c.shape[0]
+        if got < fpc:
+            c = np.pad(c, ((0, fpc - got), (0, 0)))
+        parts.append(dec.push(c)[: got * cfg.hop])
+    wav = np.concatenate(parts, axis=0) if parts else np.zeros(0, np.float32)
+    return np.asarray(wav, np.float32)[: header.orig_len]

@@ -241,6 +241,17 @@ def main(argv=None) -> int:
         help="linear LR warmup (family-standard for long GAN runs)",
     )
     p.add_argument(
+        "--checkpoint-every", type=int, default=None,
+        help="checkpoint cadence in steps (TrainConfig.checkpoint_every)",
+    )
+    p.add_argument(
+        "--full-state-every", type=int, default=None,
+        help="full train-state save cadence; intermediate boundaries export "
+        "inference-only state (TrainConfig.full_state_every; 0 = always "
+        "full). Resume can only start from a FULL save — lower this on "
+        "flaky links, raise it when the d2h pipe is slow",
+    )
+    p.add_argument(
         "--lr-decay-steps", type=int, default=-1,
         help="cosine-decay horizon; -1 = the full run, 0 = constant LR",
     )
@@ -269,6 +280,10 @@ def main(argv=None) -> int:
         overrides["segment_seconds"] = args.segment_seconds
     if args.no_gan:
         overrides["use_gan"] = False
+    if args.checkpoint_every is not None:
+        overrides["checkpoint_every"] = args.checkpoint_every
+    if args.full_state_every is not None:
+        overrides["full_state_every"] = args.full_state_every
     tcfg = dataclasses.replace(TrainConfig(), **overrides)
     total = args.steps if args.steps is not None else tcfg.steps
     decay = total if args.lr_decay_steps < 0 else args.lr_decay_steps

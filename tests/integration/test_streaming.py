@@ -103,3 +103,29 @@ def test_streaming_batched(bundle):
         [enc.push(c) for c in np.split(wavs, 2, axis=1)], axis=1
     )
     np.testing.assert_array_equal(got, batch_idx)
+
+
+def test_streaming_compress_byte_identical_to_batch(bundle, wav):
+    """api.streaming_compress produces the SAME bitstream bytes as batch
+    compress (indices bit-identical + identical header)."""
+    a = nsc_tpu.compress(bundle, wav)
+    secs = 16 * bundle.cfg.hop / bundle.cfg.sample_rate  # 4 chunks
+    b = nsc_tpu.streaming_compress(bundle, wav, chunk_seconds=secs)
+    assert a == b
+
+
+def test_streaming_decompress_matches_batch(bundle, wav):
+    blob = nsc_tpu.compress(bundle, wav)
+    ref = nsc_tpu.decompress(bundle, blob)
+    # chunk = 24 frames: the 64-frame stream decodes as 2 full chunks plus a
+    # PARTIAL last one (pad+trim path)
+    secs = 24 * bundle.cfg.hop / bundle.cfg.sample_rate
+    got = nsc_tpu.streaming_decompress(bundle, blob, chunk_seconds=secs)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    # identity checks still apply on the streaming path
+    other = nsc_tpu.load_model(bundle.cfg.name, seed=99)
+    from nsc_tpu.bitstream import BitstreamError
+
+    with pytest.raises(BitstreamError, match="fingerprint"):
+        nsc_tpu.streaming_decompress(other, blob)

@@ -150,3 +150,49 @@ def test_stoi_proxy_orders_degradations():
     assert ident > 0.99
     assert ident >= mild > heavy > scrambled
     assert scrambled < 0.6
+
+
+def test_main_cli_eval_two_files(tmp_path, capsys):
+    """`python -m nsc_tpu eval ref.wav deg.wav --json` scores the pair
+    directly (no model load)."""
+    import json
+
+    from nsc_tpu import __main__ as cli
+    from nsc_tpu.utils import audio
+
+    rng = np.random.RandomState(0)
+    t = np.arange(16000) / 16000.0
+    env = 0.5 * (1 + np.sin(2 * np.pi * 3.0 * t))
+    ref = (env * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    deg = (ref + 0.05 * rng.randn(ref.size)).astype(np.float32)
+    rp, dp = str(tmp_path / "ref.wav"), str(tmp_path / "deg.wav")
+    audio.save_wav(rp, ref, 16000)
+    audio.save_wav(dp, deg, 16000)
+
+    assert cli.main(["eval", rp, dp, "--json"]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for k in ("si_snr_db", "mel_distance", "pesq_proxy", "stoi_proxy", "stoi"):
+        assert k in m and np.isfinite(m[k])
+    assert m["si_snr_db"] > 10  # mild noise
+    # identity comparison scores (near-)perfectly
+    assert cli.main(["eval", rp, rp, "--json"]) == 0
+    ident = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ident["si_snr_db"] > m["si_snr_db"] and ident["stoi"] > 0.99
+
+
+def test_main_cli_eval_roundtrip(tmp_path, capsys):
+    """`eval` with one file round-trips it through the model and reports a
+    payload bitrate alongside the metric set."""
+    import json
+
+    from nsc_tpu import __main__ as cli
+    from nsc_tpu.utils import audio
+
+    rng = np.random.RandomState(1)
+    wav = (rng.randn(16000) * 0.2).astype(np.float32)
+    rp = str(tmp_path / "in.wav")
+    audio.save_wav(rp, wav, 16000)
+    assert cli.main(["eval", rp, "--model", "tiny_test", "--json"]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["bitrate_kbps"] > 0
+    assert "pesq_proxy" in m and np.isfinite(m["pesq_proxy"])
