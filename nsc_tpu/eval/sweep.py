@@ -35,12 +35,26 @@ def bitrate_sweep(
         api.encode(reference_bundle, wavs) if reference_bundle is not None else None
     )
     results = []
+    from nsc_tpu import entropy
+
+    seconds = wavs.shape[-1] / cfg.sample_rate
     for n_q in n_q_list:
         idx = full_idx[..., :n_q]
         recon = api.decode(bundle, idx)[..., : wavs.shape[-1]]
+        # actual payload bitrate under the adaptive arithmetic coder: trained
+        # codebooks have non-uniform usage, so the coded rate sits below the
+        # fixed-width bits*n_q*frame_rate nominal rate (BASELINE.json:11
+        # bandwidth axis, demonstrated on real streams)
+        coded = np.mean(
+            [
+                len(entropy.encode_frames(row_idx, 2**cfg.bits_per_codebook))
+                for row_idx in (idx if idx.ndim == 3 else idx[None])
+            ]
+        )
         row = {
             "n_q": int(n_q),
             "bitrate_bps": float(cfg.bitrate(n_q)),
+            "entropy_bitrate_bps": float(coded * 8 / seconds),
             "si_snr_db": quality.si_snr(wavs, recon),
             "mel_distance": quality.mel_distance(wavs, recon, cfg.sample_rate),
             "pesq_proxy": quality.pesq_proxy(wavs, recon, cfg.sample_rate),
@@ -81,11 +95,12 @@ def main(argv=None) -> int:
     if args.json:
         print(json.dumps(rows))
     else:
-        print(f"{'n_q':>4} {'kbps':>7} {'SI-SNR':>8} {'melDist':>8} "
-              f"{'PESQ*':>6} {'STOI*':>6} {'STOI':>6}")
+        print(f"{'n_q':>4} {'kbps':>7} {'ec-kbps':>8} {'SI-SNR':>8} "
+              f"{'melDist':>8} {'PESQ*':>6} {'STOI*':>6} {'STOI':>6}")
         for r in rows:
             print(
                 f"{r['n_q']:>4} {r['bitrate_bps']/1000:>7.2f} "
+                f"{r['entropy_bitrate_bps']/1000:>8.2f} "
                 f"{r['si_snr_db']:>8.2f} {r['mel_distance']:>8.3f} "
                 f"{r['pesq_proxy']:>6.2f} {r['stoi_proxy']:>6.3f} "
                 f"{r.get('stoi', float('nan')):>6.3f}"

@@ -60,6 +60,11 @@ def test_bitrate_sweep_structure_and_monotone_latent_convergence():
     assert rows[1]["bitrate_bps"] == 2 * rows[0]["bitrate_bps"]
     for r in rows:
         assert np.isfinite(r["si_snr_db"]) and np.isfinite(r["pesq_proxy"])
+        # arithmetic-coded payload carries per-plane overhead but must stay
+        # in the same ballpark as the nominal fixed-width rate (random-init
+        # codebooks have near-uniform usage, so no big win is expected HERE;
+        # the trained-checkpoint win is recorded by bench_suite config 5)
+        assert 0 < r["entropy_bitrate_bps"] < 2.0 * r["bitrate_bps"] + 4000
     # deeper RVQ -> decode converges toward the full-depth reconstruction
     full = nsc_tpu.decode(bundle, nsc_tpu.encode(bundle, wavs))
     d = []
