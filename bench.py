@@ -32,8 +32,11 @@ def _flagship():
     from nsc_tpu import api
 
     here = os.path.dirname(os.path.abspath(__file__))
-    ckpts = sorted(glob.glob(os.path.join(here, "artifacts", "base_fast_*")))
-    ckpt = ckpts[-1] if ckpts else None
+    # newest by mtime, NOT lexicographic: "base_fast_9000" sorts after
+    # "base_fast_30000" and would silently bench an older checkpoint
+    # (ADVICE r3)
+    ckpts = glob.glob(os.path.join(here, "artifacts", "base_fast_*"))
+    ckpt = max(ckpts, key=os.path.getmtime) if ckpts else None
     bundle = api.load_model("base_fast", checkpoint=ckpt, serving=True)
     return bundle, (os.path.relpath(ckpt, here) if ckpt else None)
 

@@ -13,8 +13,8 @@ re-encoding (BASELINE.json:11 "variable codebook count at inference").
 
 Header (little-endian), 20 bytes + name:
   magic    4s  = b"NSC1"
-  version  u8  = 1
-  flags    u8  (FLAG_ENTROPY, FLAG_FINGERPRINT)
+  version  u8  = 1, or 2 when the header carries the fingerprint extension
+  flags    u8  (FLAG_ENTROPY, FLAG_FINGERPRINT; unknown bits are rejected)
   name_len u8  + name bytes (config/model identity, ascii)
   bits     u8  bits per index (log2 codebook_size)
   n_q      u8  number of codebook planes present
@@ -42,6 +42,14 @@ import numpy as np
 
 MAGIC = b"NSC1"
 VERSION = 1
+# Streams whose header carries the fingerprint extension (4 extra bytes after
+# orig_len) are WRITTEN as version 2: a pre-fingerprint reader that only knows
+# version 1 then fails cleanly with "unsupported version" instead of computing
+# the payload offset 4 bytes short and silently unpacking shifted garbage
+# (ADVICE r3). Readers here accept both versions and additionally reject any
+# unknown flag bit, so future extensions also fail loudly.
+VERSION_FINGERPRINT = 2
+_SUPPORTED_VERSIONS = (1, 2)
 _FIXED = struct.Struct("<BBBIHII")  # bits n_q pad sr hop frames orig_len
 
 
@@ -66,9 +74,12 @@ class BitstreamHeader:
         name = self.model_name.encode("ascii")
         if len(name) > 255:
             raise BitstreamError("model name too long")
+        version = self.version
+        if self.flags & FLAG_FINGERPRINT:
+            version = max(version, VERSION_FINGERPRINT)
         blob = (
             MAGIC
-            + struct.pack("<BBB", self.version, self.flags, len(name))
+            + struct.pack("<BBB", version, self.flags, len(name))
             + name
             + _FIXED.pack(
                 self.bits,
@@ -94,8 +105,10 @@ class BitstreamHeader:
         if len(blob) < 7:
             raise BitstreamError("truncated header")
         version, flags, name_len = struct.unpack_from("<BBB", blob, 4)
-        if version != VERSION:
+        if version not in _SUPPORTED_VERSIONS:
             raise BitstreamError(f"unsupported bitstream version {version}")
+        if flags & ~(FLAG_ENTROPY | FLAG_FINGERPRINT):
+            raise BitstreamError(f"unknown bitstream flags 0x{flags:02x}")
         off = 7
         if len(blob) < off + name_len + _FIXED.size:
             raise BitstreamError("truncated header")

@@ -242,7 +242,7 @@ def stoi(ref, deg, sample_rate: int = 16_000) -> float:
 
     Returns a scalar in ~[0, 1]; mean over batch rows for (N, T) input.
     Validated against stoi_proxy's degradation ordering in
-    tests/unit/test_quality.py.
+    tests/unit/test_eval.py.
     """
     from nsc_tpu.utils import audio
 

@@ -108,6 +108,12 @@ def _is_superset(stored: Any, template: Any) -> bool:
         want_shape = getattr(leaf, "shape", None)
         if want_shape is not None and getattr(got, "shape", None) != want_shape:
             return False
+        # Shape alone is not enough: a right-shaped leaf with the wrong dtype
+        # (f32 state restored into a bf16 template) would pass silently and
+        # change numerics / trigger recompiles downstream (ADVICE r3).
+        want_dtype = getattr(leaf, "dtype", None)
+        if want_dtype is not None and getattr(got, "dtype", None) != want_dtype:
+            return False
     return True
 
 

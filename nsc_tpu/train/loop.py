@@ -159,6 +159,12 @@ def run(
     # checkpoint: best-model selection compares a MEAN over the window, not
     # a single minibatch's noisy loss (ADVICE r2)
     metric_window: list = []
+    # Full-save cadence tracks steps SINCE THE LAST FULL SAVE, not a step
+    # modulus: with checkpoint_every and full_state_every independently
+    # CLI-settable, a modulus only fires at lcm(...) — e.g. 3000/10000 would
+    # silently degrade resume granularity to every 30000 steps (ADVICE r3).
+    # Resume implies the latest full save is at start_step.
+    last_full = start_step
     t0 = time.time()
     # one-step host->device prefetch: the next batch transfers while the
     # current step runs (dispatch is async; transfer overlaps compute)
@@ -198,9 +204,11 @@ def run(
             # TrainConfig.full_state_every
             full = (
                 not tcfg.full_state_every
-                or (step + 1) % tcfg.full_state_every == 0
+                or (step + 1 - last_full) >= tcfg.full_state_every
                 or step + 1 == steps
             )
+            if full:
+                last_full = step + 1
             snap = bundled_snapshot(
                 state if full
                 else {"params_g": state["params_g"], "rvq": state["rvq"]}

@@ -1,0 +1,71 @@
+#!/bin/bash
+# Training supervisor for long runs on the relay-tunneled TPU rig
+# (SURVEY.md §6 "Failure detection / elastic recovery" row).
+#
+# Launches `python -m nsc_tpu.train`, then restarts it whenever the process
+# dies OR the metrics file goes stale (>STALE_S seconds without a new row —
+# the relay link occasionally wedges a d2h pull forever; auto-resume from the
+# latest full checkpoint makes a kill+relaunch safe). Hard-learned details:
+#
+#   * 15-min grace after every (re)launch: restore + the cold step compile
+#     produce no metrics rows, and a shorter grace made the stale detector
+#     thrash-restart the run 6 times in round 3 (runs/watchdog.log).
+#   * stale threshold 600 s: normal logging cadence is ~25-40 s/row; the
+#     async checkpoint pull can legitimately pause rows for ~3-5 min.
+#   * stop file: `touch $STOP_FILE` ends supervision (the training process
+#     itself is left alone — kill $(cat $PID_FILE) separately if needed).
+#   * stale orbax tmp dirs from a killed writer are removed pre-launch or
+#     orbax refuses the next save at the same step.
+#
+# Usage:
+#   scripts/train_watchdog.sh WORKDIR [extra nsc_tpu.train args...]
+# e.g.
+#   scripts/train_watchdog.sh runs/base_fast_40k \
+#     --config base_fast --data synthetic --steps 40000 --batch-size 64 \
+#     --warmup-steps 2000 --full-state-every 2000
+set -u
+WORKDIR=${1:?usage: train_watchdog.sh WORKDIR [train args...]}
+shift
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+WORKDIR=$(cd "$REPO" && mkdir -p "$WORKDIR" && cd "$WORKDIR" && pwd)
+M="$WORKDIR/metrics.jsonl"
+LOG="$WORKDIR.log"
+WLOG="$REPO/runs/watchdog.log"
+PID_FILE=${PID_FILE:-/tmp/train_run.pid}
+STOP_FILE=${STOP_FILE:-/tmp/train_stop}
+GRACE_S=${GRACE_S:-900}
+STALE_S=${STALE_S:-600}
+TOTAL_STEPS=$(printf ' %s ' "$@" | grep -oP -- '--steps \K[0-9]+' || echo "")
+
+launch() {
+  rm -rf "$WORKDIR"/train/*.orbax-checkpoint-tmp \
+         "$WORKDIR"/infer/*.orbax-checkpoint-tmp \
+         "$WORKDIR"/infer_best/*.orbax-checkpoint-tmp
+  PYTHONPATH="$REPO:${PYTHONPATH:-}" nohup python -m nsc_tpu.train \
+    --workdir "$WORKDIR" "$@" >> "$LOG" 2>&1 &
+  echo $! > "$PID_FILE"
+  LAUNCH_T=$(date +%s)
+  echo "$(date) launched pid $(cat "$PID_FILE") ($WORKDIR)" >> "$WLOG"
+}
+launch "$@"
+while true; do
+  sleep 120
+  [ -f "$STOP_FILE" ] && { echo "$(date) stop file -> exit" >> "$WLOG"; exit 0; }
+  if [ -n "$TOTAL_STEPS" ] && tail -c 2000 "$M" 2>/dev/null \
+      | grep -q "\"step\": $TOTAL_STEPS,"; then
+    echo "$(date) run complete" >> "$WLOG"; exit 0
+  fi
+  now=$(date +%s)
+  [ $(( now - LAUNCH_T )) -lt "$GRACE_S" ] && continue
+  if ! kill -0 "$(cat "$PID_FILE")" 2>/dev/null; then
+    echo "$(date) process gone -> restart" >> "$WLOG"
+    launch "$@"; continue
+  fi
+  age=$(( now - $(stat -c %Y "$M" 2>/dev/null || echo 0) ))
+  if [ "$age" -gt "$STALE_S" ]; then
+    echo "$(date) stale ${age}s -> restart" >> "$WLOG"
+    kill "$(cat "$PID_FILE")" 2>/dev/null; sleep 8
+    kill -9 "$(cat "$PID_FILE")" 2>/dev/null; sleep 4
+    launch "$@"
+  fi
+done

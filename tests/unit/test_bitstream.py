@@ -1,3 +1,5 @@
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -33,23 +35,39 @@ def test_header_golden_bytes():
 
 
 def test_header_fingerprint_roundtrip_and_golden_bytes():
-    """FLAG_FINGERPRINT appends a u32 codebook CRC after orig_len (format
-    extension, round 3 — deliberate golden update)."""
+    """FLAG_FINGERPRINT appends a u32 codebook CRC after orig_len and bumps
+    the wire version to 2 so pre-fingerprint readers fail cleanly instead of
+    mis-computing the payload offset (format extension, rounds 3-4 —
+    deliberate golden update)."""
     h = B.BitstreamHeader("ab", bits=10, n_q=2, sample_rate=16000,
                           hop=320, num_frames=3, orig_len=960,
                           flags=B.FLAG_FINGERPRINT, fingerprint=0xDEADBEEF)
     expect = (
-        b"NSC1" + bytes([1, B.FLAG_FINGERPRINT, 2]) + b"ab"
+        b"NSC1" + bytes([B.VERSION_FINGERPRINT, B.FLAG_FINGERPRINT, 2]) + b"ab"
         + bytes([10, 2, 0]) + (16000).to_bytes(4, "little")
         + (320).to_bytes(2, "little") + (3).to_bytes(4, "little")
         + (960).to_bytes(4, "little") + (0xDEADBEEF).to_bytes(4, "little")
     )
     assert h.to_bytes() == expect
     h2, off = B.BitstreamHeader.from_bytes(h.to_bytes())
-    assert h2 == h and off == len(expect)
+    assert h2 == dataclasses.replace(h, version=B.VERSION_FINGERPRINT)
+    assert off == len(expect)
     # truncated mid-fingerprint must raise, not crash
     with pytest.raises(B.BitstreamError):
         B.BitstreamHeader.from_bytes(h.to_bytes()[:-2])
+
+
+def test_unknown_version_and_flags_rejected():
+    """Future format extensions must fail loudly: an unknown version or an
+    unknown flag bit raises instead of silently mis-offsetting the payload."""
+    blob = bytearray(_header().to_bytes())
+    blob[4] = 3  # version byte
+    with pytest.raises(B.BitstreamError, match="version"):
+        B.BitstreamHeader.from_bytes(bytes(blob))
+    blob = bytearray(_header().to_bytes())
+    blob[5] |= 0x80  # unknown flag bit
+    with pytest.raises(B.BitstreamError, match="flags"):
+        B.BitstreamHeader.from_bytes(bytes(blob))
 
 
 def test_plane_pack_unpack_exact():
