@@ -129,6 +129,13 @@ class TrainConfig:
     use_gan: bool = True
     disc_start_step: int = 0
     disc_width_mult: float = 1.0  # scales MS/MP discriminator channel widths
+    # discriminator ensemble STRUCTURE (HiFi-GAN-family full set by default).
+    # Smaller sets cut the train-step graph ~3x for compile-budgeted checks
+    # (the multichip dryrun must cold-compile inside the driver's 10-minute
+    # budget on one contended core — VERDICT r3 #1); flagship training uses
+    # the defaults.
+    mpd_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    msd_scales: int = 3
 
     # multi-res STFT sizes (SURVEY.md §3 #12)
     stft_fft_sizes: Tuple[int, ...] = (2048, 1024, 512, 256, 128)
@@ -142,6 +149,12 @@ class TrainConfig:
     # quantizer-dropout: train with random RVQ depth for bandwidth
     # scalability at inference (BASELINE.json:11)
     quantizer_dropout: float = 0.5
+    # codebook init at step 0: "data" = sequential residual-sampling +
+    # k-means spread from real encoder latents (ops/rvq.py::
+    # init_codebooks_from_data — codes start inside the latent distribution;
+    # VERDICT r3 #4: N(0,1) "random" init equilibrated at ~14% usage at
+    # flagship scale) | "random" = N(0,1) (legacy; what the r3 artifact used)
+    codebook_init: str = "data"
 
     checkpoint_every: int = 2000
     # Pull the FULL train state (both optimizers + EMA, ~10x the inference

@@ -51,10 +51,26 @@ def bitrate_sweep(
                 for row_idx in (idx if idx.ndim == 3 else idx[None])
             ]
         )
+        # per-book effective-codebook diagnostics over THIS eval batch
+        # (VERDICT r3 #4): perplexity = exp(entropy) of the book's index
+        # histogram == its effective code count; usage = fraction of codes
+        # hit at least once. Together with entropy_bitrate_bps these keep the
+        # bandwidth axis honest when utilization is below nominal.
+        k = 2 ** cfg.bits_per_codebook
+        flat = idx.reshape(-1, n_q)
+        perpl, used = [], []
+        for q in range(n_q):
+            h = np.bincount(flat[:, q], minlength=k).astype(np.float64)
+            p_q = h / max(h.sum(), 1.0)
+            ent = -(p_q[p_q > 0] * np.log(p_q[p_q > 0])).sum()
+            perpl.append(float(np.exp(ent)))
+            used.append(float((h > 0).mean()))
         row = {
             "n_q": int(n_q),
             "bitrate_bps": float(cfg.bitrate(n_q)),
             "entropy_bitrate_bps": float(coded * 8 / seconds),
+            "book_perplexity": [round(x, 1) for x in perpl],
+            "book_usage": [round(x, 4) for x in used],
             "si_snr_db": quality.si_snr(wavs, recon),
             "mel_distance": quality.mel_distance(wavs, recon, cfg.sample_rate),
             "pesq_proxy": quality.pesq_proxy(wavs, recon, cfg.sample_rate),

@@ -42,6 +42,15 @@ class NeuralSpeechCodec:
         z = self._project_in(params, z)
         return rvq_ops.quantize(rvq, z, n_q=n_q, backend=self.cfg.rvq_backend)
 
+    def latents(self, params: Params, wav: jax.Array) -> jax.Array:
+        """(N, T) waveform -> (N, F, D) PRE-quantization latents (projected
+        into codebook space for factorized configs) — the distribution the
+        codebooks must tile; used by data-driven codebook init
+        (ops/rvq.py::init_codebooks_from_data)."""
+        x = self._shape_wav(wav)
+        z = seanet.apply_encoder(params["encoder"], x, self.cfg)
+        return self._project_in(params, z)
+
     def decode(
         self, params: Params, rvq: rvq_ops.RVQState, indices: jax.Array,
         n_q: Optional[int] = None,

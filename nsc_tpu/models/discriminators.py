@@ -168,28 +168,41 @@ def _avg_pool_half(wav: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def init_discriminators(key: jax.Array, width_mult: float = 1.0) -> Params:
+def init_discriminators(
+    key: jax.Array,
+    width_mult: float = 1.0,
+    *,
+    periods: Sequence[int] = PERIODS,
+    msd_scales: int = MSD_SCALES,
+) -> Params:
     """width_mult scales all channel widths (1.0 = full size; small values
-    make CPU smoke tests feasible — apply() reads widths from param shapes)."""
+    make CPU smoke tests feasible — apply() reads widths from param shapes).
+    `periods`/`msd_scales` set the ensemble STRUCTURE (defaults = the
+    HiFi-GAN-family full set); pass the same values to apply_discriminators.
+    Smaller sets exist for compile-budgeted checks (the multichip dryrun) and
+    ablations, not for flagship training."""
     km, ks = jax.random.split(key)
     return {
         "mpd": [
             _init_mpd_one(k, width_mult)
-            for k in jax.random.split(km, len(PERIODS))
+            for k in jax.random.split(km, len(periods))
         ],
         "msd": [
             _init_msd_one(k, width_mult)
-            for k in jax.random.split(ks, MSD_SCALES)
+            for k in jax.random.split(ks, msd_scales)
         ],
     }
 
 
 def apply_discriminators(
-    params: Params, wav: jax.Array
+    params: Params, wav: jax.Array, *, periods: Sequence[int] = PERIODS
 ) -> List[Tuple[jax.Array, List[jax.Array]]]:
     """(N, T) -> list over all sub-discriminators of (logits, features)."""
+    assert len(params["mpd"]) == len(periods), (
+        f"params built for {len(params['mpd'])} periods, got {periods}"
+    )
     outs = []
-    for layers, period in zip(params["mpd"], PERIODS):
+    for layers, period in zip(params["mpd"], periods):
         outs.append(_apply_mpd_one(layers, wav, period))
     x = wav
     for i, layers in enumerate(params["msd"]):

@@ -202,6 +202,71 @@ def forward(
     return RVQForward(zq_ste, indices, commit, counts, sums, usage)
 
 
+def init_codebooks_from_data(
+    key: jax.Array,
+    state: RVQState,
+    z: jax.Array,
+    *,
+    kmeans_iters: int = 2,
+) -> RVQState:
+    """Data-driven codebook init (VERDICT r3 #4; EnCodec/DAC-family practice
+    [INFERRED]): book q is initialized from the RESIDUAL pool left after
+    books < q, instead of N(0,1) noise whose scale has nothing to do with the
+    encoder's latents. With random init, most codes never win a single
+    assignment and the EMA can only revive them through reseeding — the r3
+    flagship run equilibrated at ~14% usage. Seeding every code at an actual
+    data point (then a few Lloyd iterations to spread them) starts every code
+    inside the distribution it must tile.
+
+    z: (..., D) pre-quantization latents (model.encode's projected latents
+    for factorized configs). Sampling is with replacement via a replicated
+    `key` permutation, so the function is safe to run under one device (the
+    intended use: once, eagerly, at step 0 — see train/loop.py)."""
+    books = state["codebooks"]
+    n_q, k, d = books.shape
+    pool = z.reshape(-1, d).astype(jnp.float32)
+    m = pool.shape[0]
+
+    def one_book(carry, bk):
+        residual, key = carry
+        key, k_pick = jax.random.split(key)
+        # sample K starting points from the residual pool (permutation when
+        # the pool is big enough => distinct; wraps otherwise)
+        pick = jax.random.permutation(k_pick, m)[
+            jnp.arange(k) % jnp.maximum(m, 1)
+        ]
+        cb = residual[pick]
+
+        def lloyd(_, cb):
+            idx = _nearest(residual, cb)
+            onehot = jax.nn.one_hot(idx, k, dtype=jnp.float32)
+            counts = jnp.sum(onehot, axis=0)  # (K,)
+            sums = jnp.dot(
+                onehot.T, residual, preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+            # empty clusters keep their current point
+            return jnp.where(
+                counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), cb
+            )
+
+        cb = lax.fori_loop(0, kmeans_iters, lloyd, cb)
+        idx = _nearest(residual, cb)
+        return (residual - cb[idx], key), cb
+
+    (_, _), new_books = lax.scan(
+        one_book, (pool, key), jnp.arange(n_q)
+    )
+    # EMA stats consistent with the new codebooks: a uniform-ish count well
+    # above the dead threshold gives every code a fair grace window
+    count0 = jnp.full((n_q, k), jnp.maximum(m / k, 8.0), jnp.float32)
+    return {
+        "codebooks": new_books,
+        "ema_count": count0,
+        "ema_sum": new_books * count0[..., None],
+    }
+
+
 def sample_reseed_candidates(
     key: jax.Array,
     pool: jax.Array,

@@ -283,6 +283,31 @@ class StreamingEncoder:
         )
         return np.asarray(idx)[0] if single else np.asarray(idx)
 
+    def push_many(self, chunks) -> list:
+        """Queue several chunks and encode them in ONE device dispatch;
+        returns one (N, T_i/hop, n_q) index block per input chunk.
+
+        Exactness makes this free: streaming(concat) == sequential pushes
+        (the carried state evolves identically), so queuing k chunks into a
+        single push amortizes the fixed per-program dispatch overhead
+        (~28 ms on the relay-tunneled rig — docs/PERFORMANCE.md) over k
+        chunks. Use when throughput matters more than per-chunk latency
+        (VERDICT r3 #6: the remaining streaming-RTF lever)."""
+        import numpy as np
+
+        chunks = [np.asarray(c) for c in chunks]
+        if not chunks:
+            return []
+        hop = self.model.cfg.hop
+        lens = [c.shape[-1] for c in chunks]
+        idx = self.push(np.concatenate(chunks, axis=-1))
+        out, f0 = [], 0
+        for ln in lens:
+            f1 = f0 + ln // hop
+            out.append(idx[..., f0:f1, :])
+            f0 = f1
+        return out
+
 
 @dataclasses.dataclass
 class StreamingDecoder:
@@ -316,3 +341,21 @@ class StreamingDecoder:
             self.model, self.params, self.rvq, self._state, idx, self.n_q
         )
         return np.asarray(wav)[0] if single else np.asarray(wav)
+
+    def push_many(self, index_blocks) -> list:
+        """Symmetric to StreamingEncoder.push_many: decode several index
+        blocks in ONE dispatch; returns one waveform chunk per block."""
+        import numpy as np
+
+        blocks = [np.asarray(b) for b in index_blocks]
+        if not blocks:
+            return []
+        hop = self.model.cfg.hop
+        frames = [b.shape[-2] for b in blocks]
+        wav = self.push(np.concatenate(blocks, axis=-2))
+        out, t0 = [], 0
+        for f in frames:
+            t1 = t0 + f * hop
+            out.append(wav[..., t0:t1])
+            t0 = t1
+        return out

@@ -82,6 +82,27 @@ def run(
     if resume and ckpt.latest_step(train_dir) is not None:
         start_step, state = ckpt.restore(train_dir, state)
         print(f"resumed from step {start_step}")
+    elif tcfg.codebook_init == "data":
+        # Data-driven codebook init (VERDICT r3 #4): seed every code at an
+        # actual encoder latent + a few Lloyd iterations. The warm batch
+        # comes from a PROCESS-INDEPENDENT source (fixed seed, no process
+        # offset) so every host computes identical codebooks before
+        # replication — the DP bit-identity invariant starts true.
+        import jax.numpy as jnp
+
+        from nsc_tpu.ops import rvq as rvq_ops
+
+        seg0 = int(tcfg.segment_seconds * cfg.sample_rate)
+        seg0 = max(cfg.hop, (seg0 // cfg.hop) * cfg.hop)
+        warm = next(
+            data_lib.make_source(data_spec, cfg.sample_rate, tcfg.seed)
+            .batches(min(tcfg.batch_size, 16), seg0)
+        )
+        z = jax.jit(model.latents)(state["params_g"], jnp.asarray(warm))
+        state["rvq"] = jax.jit(rvq_ops.init_codebooks_from_data)(
+            jax.random.PRNGKey(tcfg.seed + 77), state["rvq"], z
+        )
+        print("codebooks: data-driven init (residual sampling + k-means)")
 
     state = replicate(mesh, state)
     step_fn = make_parallel_train_step(model, tcfg, mesh)

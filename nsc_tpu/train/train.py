@@ -78,7 +78,10 @@ def init_train_state(
 ) -> Tuple[NeuralSpeechCodec, TrainState]:
     kg, kd, kr = jax.random.split(key, 3)
     model, params_g, rvq = init_codec(kg, cfg)
-    params_d = disc.init_discriminators(kd, tcfg.disc_width_mult)
+    params_d = disc.init_discriminators(
+        kd, tcfg.disc_width_mult,
+        periods=tcfg.mpd_periods, msd_scales=tcfg.msd_scales,
+    )
     opt_g, opt_d = make_optimizers(tcfg)
     return model, {
         "step": jnp.zeros((), jnp.int32),
@@ -148,7 +151,9 @@ def make_train_step(
         }
         if tcfg.use_gan:
             both = jnp.concatenate([batch, recon], axis=0)  # one MXU pass
-            outs = disc.apply_discriminators(params_d, both)
+            outs = disc.apply_discriminators(
+                params_d, both, periods=tcfg.mpd_periods
+            )
             n = batch.shape[0]
             real = [(lg[:n], [f[:n] for f in fs]) for lg, fs in outs]
             fake = [(lg[n:], [f[n:] for f in fs]) for lg, fs in outs]
@@ -164,7 +169,7 @@ def make_train_step(
 
     def d_loss_fn(params_d, batch, fake_wav):
         both = jnp.concatenate([batch, fake_wav], axis=0)
-        outs = disc.apply_discriminators(params_d, both)
+        outs = disc.apply_discriminators(params_d, both, periods=tcfg.mpd_periods)
         n = batch.shape[0]
         real = [(lg[:n], [f[:n] for f in fs]) for lg, fs in outs]
         fake = [(lg[n:], [f[n:] for f in fs]) for lg, fs in outs]

@@ -94,6 +94,39 @@ def test_full_streaming_pipeline(bundle, wav):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_push_many_matches_sequential_pushes():
+    """push_many(k chunks) must equal k sequential push() calls bit-exactly
+    (it IS one concatenated push under the streaming==batch contract), and
+    the decoder side must round-trip the same blocks."""
+    import numpy as np
+
+    from nsc_tpu import streaming
+    from nsc_tpu.configs import get_config
+    from nsc_tpu.models.codec import init_codec
+
+    cfg = get_config("tiny_test")
+    model, params, rvq = init_codec(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(3)
+    chunks = [
+        (rng.randn(2, n * cfg.hop) * 0.1).astype(np.float32) for n in (3, 1, 2)
+    ]
+
+    enc_seq = streaming.StreamingEncoder(model, params, rvq)
+    seq = [enc_seq.push(c) for c in chunks]
+    enc_many = streaming.StreamingEncoder(model, params, rvq)
+    many = enc_many.push_many(chunks)
+    assert len(many) == len(seq)
+    for a, b in zip(many, seq):
+        np.testing.assert_array_equal(a, b)
+
+    dec_seq = streaming.StreamingDecoder(model, params, rvq)
+    wav_seq = [dec_seq.push(i) for i in seq]
+    dec_many = streaming.StreamingDecoder(model, params, rvq)
+    wav_many = dec_many.push_many(seq)
+    for a, b in zip(wav_many, wav_seq):
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_streaming_batched(bundle):
     rng = np.random.RandomState(1)
     wavs = (rng.randn(3, 32 * bundle.cfg.hop) * 0.2).astype(np.float32)
