@@ -246,6 +246,20 @@ def _base_fast() -> CodecConfig:
     return CodecConfig(name="base_fast", activation="snake_fast")
 
 
+@register_config("base_fast_f")
+def _base_fast_f() -> CodecConfig:
+    """Factorized flagship (DAC-style [INFERRED]): nearest-neighbor search
+    in a 32-dim projected space instead of the 128-dim latent space.
+    Low-dim code lookup is the literature-validated fix for codebook
+    under-utilization at scale (VERDICT r3 #4) — high-dim EMA k-means
+    concentrates on few clusters. Same depth/bitrate lattice as base_fast;
+    the Pallas RVQ kernel still applies (lane-padded D). Distance contract
+    unchanged (f32 ||c||^2 - 2 r.c in the projected space)."""
+    return CodecConfig(
+        name="base_fast_f", activation="snake_fast", codebook_dim=32
+    )
+
+
 @register_config("base_noncausal")
 def _base_noncausal() -> CodecConfig:
     """Non-causal (offline, higher-quality) variant: symmetric 'same'
