@@ -63,3 +63,21 @@ def test_width_mult_variants_all_apply():
         p = D.init_discriminators(jax.random.PRNGKey(0), width_mult=mult)
         outs = D.apply_discriminators(p, wav)
         assert len(outs) == len(D.PERIODS) + D.MSD_SCALES
+
+
+def test_configurable_ensemble_structure():
+    """TrainConfig.mpd_periods/msd_scales shrink the ensemble for
+    compile-budgeted checks (the multichip dryrun) without changing the
+    full-set default; apply() must reject a periods list that doesn't match
+    what the params were built for."""
+    import pytest
+
+    p = D.init_discriminators(
+        jax.random.PRNGKey(0), width_mult=1 / 16, periods=(2, 3), msd_scales=1
+    )
+    assert len(p["mpd"]) == 2 and len(p["msd"]) == 1
+    wav = jax.random.normal(jax.random.PRNGKey(1), (2, 2048)) * 0.1
+    outs = D.apply_discriminators(p, wav, periods=(2, 3))
+    assert len(outs) == 3
+    with pytest.raises(AssertionError):
+        D.apply_discriminators(p, wav)  # default 5-period list != params
