@@ -236,9 +236,22 @@ def config5_sweep():
     flag = glob.glob(os.path.join(here, "artifacts", "base_fast_*"))
     if flag:
         newest = max(flag, key=os.path.getmtime)
-        bundle16 = nsc_tpu.load_model("base_fast", checkpoint=newest)
+        # score the flagship on ITS OWN training distribution (meta.json
+        # written by scripts/export_flagship.py; pre-meta artifacts trained
+        # on the v1 synthetic source)
+        cfg_name, data_spec = "base_fast", "synthetic"
+        meta_path = os.path.join(newest, "meta.json")
+        if os.path.exists(meta_path):
+            meta = json.load(open(meta_path))
+            cfg_name = meta.get("config", cfg_name)
+            data_spec = meta.get("data", data_spec)
+        from nsc_tpu.train.data import make_source
+
+        fwavs = next(make_source(data_spec, 16000, 7).batches(2, 160000))
+        bundle16 = nsc_tpu.load_model(cfg_name, checkpoint=newest)
         out["flagship_checkpoint"] = os.path.relpath(newest, here)
-        out["flagship_rows"] = bitrate_sweep(bundle16, wavs)
+        out["flagship_data"] = data_spec
+        out["flagship_rows"] = bitrate_sweep(bundle16, fwavs)
     return out
 
 

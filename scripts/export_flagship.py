@@ -32,6 +32,10 @@ def main() -> int:
     p.add_argument("--config", default="base_fast")
     p.add_argument("--step", type=int, default=None,
                    help="explicit step (default: best.json's step, else latest)")
+    p.add_argument("--data", default="synthetic",
+                   help="training data spec (recorded in meta.json; eval "
+                   "harnesses score each checkpoint on its own training "
+                   "distribution)")
     args = p.parse_args()
 
     from nsc_tpu import api, canonical
@@ -74,6 +78,11 @@ def main() -> int:
         shutil.copytree(os.path.join(src_root, str(use_step)), dst_step)
         print(f"copied {src_root}/{use_step} -> {dst_step}")
 
+    with open(os.path.join(dst, "meta.json"), "w") as f:
+        json.dump(
+            {"config": args.config, "data": args.data, "step": use_step,
+             "run_dir": os.path.relpath(run_dir, REPO)}, f,
+        )
     bundle = api.load_model(args.config, checkpoint=dst, serving=True)
     pin = canonical.write_pin(bundle, dst)
     ok, rate, status = canonical.check_pin(bundle, dst)
