@@ -37,7 +37,12 @@ def _flagship():
     # (ADVICE r3)
     ckpts = glob.glob(os.path.join(here, "artifacts", "base_fast_*"))
     ckpt = max(ckpts, key=os.path.getmtime) if ckpts else None
-    bundle = api.load_model("base_fast", checkpoint=ckpt, serving=True)
+    cfg_name = "base_fast"
+    if ckpt and os.path.exists(os.path.join(ckpt, "meta.json")):
+        cfg_name = json.load(open(os.path.join(ckpt, "meta.json"))).get(
+            "config", cfg_name
+        )
+    bundle = api.load_model(cfg_name, checkpoint=ckpt, serving=True)
     return bundle, (os.path.relpath(ckpt, here) if ckpt else None)
 
 
