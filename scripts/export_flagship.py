@@ -25,7 +25,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main() -> int:
+def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("run_dir")
     p.add_argument("--name", required=True, help="artifacts/<name>")
@@ -36,7 +36,9 @@ def main() -> int:
                    help="training data spec (recorded in meta.json; eval "
                    "harnesses score each checkpoint on its own training "
                    "distribution)")
-    args = p.parse_args()
+    p.add_argument("--dest", default=None,
+                   help="destination root (default: <repo>/artifacts/<name>)")
+    args = p.parse_args(argv)
 
     from nsc_tpu import api, canonical
     from nsc_tpu.train import checkpoint as ckpt
@@ -69,7 +71,7 @@ def main() -> int:
         print(f"no inference checkpoint under {run_dir}", file=sys.stderr)
         return 1
 
-    dst = os.path.join(REPO, "artifacts", args.name)
+    dst = args.dest or os.path.join(REPO, "artifacts", args.name)
     dst_step = os.path.join(dst, str(use_step))
     if os.path.exists(dst_step):
         print(f"{dst_step} already exists; leaving checkpoint as-is")

@@ -1,0 +1,43 @@
+"""Flagship export path (scripts/export_flagship.py): checkpoint copy +
+meta.json + canonical pin, end-to-end on a tiny config."""
+
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "..", "scripts"))
+
+from nsc_tpu import api, canonical
+from nsc_tpu.configs import get_config
+from nsc_tpu.models.codec import init_codec
+from nsc_tpu.train import checkpoint as ckpt
+
+
+def test_export_flagship_writes_artifact_meta_and_pin(tmp_path):
+    import export_flagship
+
+    cfg = get_config("tiny_test")
+    model, params, rvq = init_codec(jax.random.PRNGKey(3), cfg)
+    run_dir = tmp_path / "run"
+    ckpt.save_inference(str(run_dir / "infer_best"), 5, params, rvq)
+    with open(run_dir / "best.json", "w") as f:
+        json.dump({"metric": "loss/mel", "value": 0.5, "step": 5}, f)
+
+    dest = tmp_path / "artifact"
+    rc = export_flagship.main([
+        str(run_dir), "--name", "ignored", "--config", "tiny_test",
+        "--data", "synthetic2", "--dest", str(dest),
+    ])
+    assert rc == 0
+    assert (dest / "5").is_dir()
+    meta = json.load(open(dest / "meta.json"))
+    assert meta["config"] == "tiny_test" and meta["data"] == "synthetic2"
+    assert meta["step"] == 5
+
+    # the pin must verify against a freshly-loaded bundle of the artifact
+    bundle = api.load_model("tiny_test", checkpoint=str(dest), serving=True)
+    exact, rate, _ = canonical.check_pin(bundle, str(dest))
+    assert exact is True and rate == 1.0
