@@ -71,6 +71,13 @@ def run(
     from nsc_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()  # restarts skip the multi-minute step compile
+    # Prove the device answers BEFORE any expensive startup (state init,
+    # data-init, cold compile): when the relay claim is wedged, fail in
+    # minutes with a distinctive exit code the supervisor can grep for,
+    # instead of hanging silently until its stale-kill (utils/liveness.py).
+    from nsc_tpu.utils.liveness import Heartbeat, device_liveness_check
+
+    device_liveness_check()
     mesh = make_mesh()
     n_dev = mesh.devices.size
     if tcfg.batch_size % n_dev:
@@ -184,8 +191,19 @@ def run(
     # modulus: with checkpoint_every and full_state_every independently
     # CLI-settable, a modulus only fires at lcm(...) — e.g. 3000/10000 would
     # silently degrade resume granularity to every 30000 steps (ADVICE r3).
-    # Resume implies the latest full save is at start_step.
+    # Resume implies the latest full save is at start_step.  On a FRESH run
+    # no full save exists at all, so the first checkpoint boundary forces
+    # one (have_full=False below): a wedge/crash in the first
+    # full_state_every steps then costs checkpoint_every steps of work, not
+    # the whole run (2026-08-17: run #2 wedged at step 600 with the first
+    # full save scheduled at 2000 — everything was lost).
     last_full = start_step
+    have_full = start_step > 0
+    # In-process stall detector (TPU only — on CPU the test-suite's pace is
+    # not a health signal and the external watchdog still covers process
+    # death).  Beats happen at every metric readback, the loop's only
+    # guaranteed-synchronous point.
+    hb = Heartbeat() if async_ckpt else None
     t0 = time.time()
     # one-step host->device prefetch: the next batch transfers while the
     # current step runs (dispatch is async; transfer overlaps compute)
@@ -197,6 +215,8 @@ def run(
         state, metrics = step_fn(state, batch)
         if (step + 1) % tcfg.log_every == 0 or step + 1 == steps:
             m = {k: float(v) for k, v in metrics.items()}
+            if hb is not None:
+                hb.beat(step + 1)  # float() above forced a device sync
             rate = tcfg.log_every / max(time.time() - t0, 1e-9)
             m["steps_per_sec"] = rate
             t0 = time.time()
@@ -225,11 +245,13 @@ def run(
             # TrainConfig.full_state_every
             full = (
                 not tcfg.full_state_every
+                or not have_full
                 or (step + 1 - last_full) >= tcfg.full_state_every
                 or step + 1 == steps
             )
             if full:
                 last_full = step + 1
+                have_full = True
             snap = bundled_snapshot(
                 state if full
                 else {"params_g": state["params_g"], "rvq": state["rvq"]}
@@ -243,6 +265,8 @@ def run(
                 _write(snap, step + 1, improved, best, full)
                 if writer_err:
                     raise writer_err[0]
+    if hb is not None:
+        hb.stop()
     if writer is not None:
         writer.join()
     if writer_err:

@@ -1,0 +1,150 @@
+"""Device liveness + in-process stall detection (SURVEY.md §6 failure row).
+
+Motivation (2026-08-17 incident, runs/watchdog.log): the relay's device leg
+wedged mid-run — the training process hung inside a device pull at step 600,
+and every supervisor restart then hung inside backend init (``jax.devices()``
+never returned).  From *outside* the process a hung claim is indistinguishable
+from a slow cold compile, so the supervisor thrash-restarted hourly for four
+hours without ever making progress.  These helpers give the process itself a
+voice:
+
+- :func:`device_liveness_check` proves the backend answers a tiny program
+  within a deadline, else prints a one-line diagnosis and exits with
+  :data:`EXIT_DEVICE_WEDGED`.  Run it *before* expensive startup work
+  (data-init, state init, the cold step compile) so a wedged claim fails in
+  seconds, not after a 16-minute supervisor grace.
+- :class:`Heartbeat` is a training-loop stall detector: the loop calls
+  :meth:`Heartbeat.beat` at every synchronous point (metric readback); a
+  monitor thread exits the process with :data:`EXIT_STALLED` if no beat
+  arrives within the deadline.  A clean, *distinctive* exit beats an external
+  ``kill -9``: the supervisor can tell "device wedged / run stalled" apart
+  from "process crashed" and back off accordingly (restarting cannot un-wedge
+  a pool grant).
+
+A wedged device call cannot be interrupted from Python (the thread is parked
+inside the PJRT client), so both helpers use a *monitor thread* +
+``os._exit`` rather than trying to cancel the call.  ``os._exit`` skips
+atexit/orbax finalizers on purpose — they would themselves touch the wedged
+client and hang the exit.
+
+The printed markers (``NSC-LIVENESS: ...``) are part of the supervisor
+contract: ``scripts/train_watchdog.sh`` greps the run log for them.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Callable, Optional
+
+EXIT_DEVICE_WEDGED = 97
+EXIT_STALLED = 98
+
+_MARKER_WEDGED = "NSC-LIVENESS: DEVICE WEDGED"
+_MARKER_STALLED = "NSC-LIVENESS: RUN STALLED"
+
+
+def _default_probe() -> float:
+    """One tiny device program, result read back to host (the readback is the
+    point: on the relay rig dispatch alone succeeds even when d2h is dead —
+    see CLAUDE.md on ``block_until_ready`` being a relay no-op)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.full((8, 128), 2.0, jnp.float32)
+    return float(jnp.sum(x * x))
+
+
+def device_liveness_check(
+    timeout_s: Optional[float] = None,
+    *,
+    probe: Callable[[], object] = _default_probe,
+    _exit: Callable[[int], None] = os._exit,
+) -> float:
+    """Run ``probe`` under a deadline; return its wall time on success.
+
+    On timeout prints :data:`_MARKER_WEDGED` and calls ``_exit`` (default
+    ``os._exit``) with :data:`EXIT_DEVICE_WEDGED`.  Default deadline comes
+    from ``NSC_DEVICE_CHECK_TIMEOUT`` (seconds, default 420 — generous enough
+    for a cold backend init + one tiny remote compile on the relay rig, far
+    below the supervisor's grace).
+    """
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("NSC_DEVICE_CHECK_TIMEOUT", "420"))
+    done = threading.Event()
+
+    def _monitor() -> None:
+        if not done.wait(timeout_s):
+            print(
+                f"{_MARKER_WEDGED}: no probe result in {timeout_s:.0f}s — "
+                "the device/relay claim is hung; exiting "
+                f"{EXIT_DEVICE_WEDGED} (restarts cannot fix this; the pool "
+                "must reclaim the grant)",
+                flush=True,
+            )
+            _exit(EXIT_DEVICE_WEDGED)
+
+    t = threading.Thread(target=_monitor, daemon=True)
+    t.start()
+    t0 = time.monotonic()
+    try:
+        probe()
+    finally:
+        done.set()
+    dt = time.monotonic() - t0
+    print(f"NSC-LIVENESS: device ok ({dt:.1f}s)", flush=True)
+    return dt
+
+
+class Heartbeat:
+    """Exit the process if the training loop stops making progress.
+
+    ``first_timeout_s`` covers the window before the first beat (restore +
+    the multi-minute cold step compile); ``timeout_s`` applies between beats
+    (normal cadence is one beat per ``log_every`` steps, ~25-40 s on the
+    flagship run, but an async checkpoint pull can legitimately pause the
+    loop ~3-5 min — keep the deadline well above that).
+    """
+
+    def __init__(
+        self,
+        timeout_s: float = 900.0,
+        first_timeout_s: float = 1800.0,
+        *,
+        poll_s: float = 5.0,
+        _exit: Callable[[int], None] = os._exit,
+    ):
+        self._timeout = float(timeout_s)
+        self._deadline = time.monotonic() + float(first_timeout_s)
+        self._poll = poll_s
+        self._exit_fn = _exit
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._last_step: Optional[int] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def beat(self, step: Optional[int] = None) -> None:
+        with self._lock:
+            self._deadline = time.monotonic() + self._timeout
+            if step is not None:
+                self._last_step = step
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def _run(self) -> None:
+        while not self._stop.wait(self._poll):
+            with self._lock:
+                late = time.monotonic() - self._deadline
+                step = self._last_step
+            if late > 0:
+                print(
+                    f"{_MARKER_STALLED}: no progress for {self._timeout:.0f}s"
+                    f" past deadline (last step: {step}); exiting "
+                    f"{EXIT_STALLED} so the supervisor restarts cleanly",
+                    flush=True,
+                )
+                self._exit_fn(EXIT_STALLED)
+                return  # only reached with an injected _exit (tests)

@@ -16,6 +16,15 @@
 #     itself is left alone — kill $(cat $PID_FILE) separately if needed).
 #   * stale orbax tmp dirs from a killed writer are removed pre-launch or
 #     orbax refuses the next save at the same step.
+#   * WEDGE BACKOFF (2026-08-17 incident): when the relay's device claim
+#     wedges pool-side, restarts hang in backend init forever — this loop
+#     thrash-restarted hourly for 4 h with zero progress. Now: the train
+#     process runs a pre-flight liveness probe (nsc_tpu/utils/liveness.py)
+#     and prints "NSC-LIVENESS: DEVICE WEDGED" / "NSC-LIVENESS: RUN STALLED"
+#     markers; after each restart that produced no new metrics row, the
+#     fruitless counter rises and relaunch waits an extra
+#     WEDGE_BACKOFF_S * count (capped 30 min) — restarting cannot un-wedge
+#     a pool grant, so stop hammering it.
 #
 # Usage:
 #   scripts/train_watchdog.sh WORKDIR [extra nsc_tpu.train args...]
@@ -35,9 +44,26 @@ PID_FILE=${PID_FILE:-/tmp/train_run.pid}
 STOP_FILE=${STOP_FILE:-/tmp/train_stop}
 GRACE_S=${GRACE_S:-900}
 STALE_S=${STALE_S:-600}
+WEDGE_BACKOFF_S=${WEDGE_BACKOFF_S:-300}
 TOTAL_STEPS=$(printf ' %s ' "$@" | grep -oP -- '--steps \K[0-9]+' || echo "")
+FRUITLESS=0
+LAST_M_T=0
 
 launch() {
+  # fruitless-restart accounting: if metrics advanced since the previous
+  # launch, the last incarnation made progress — reset the wedge counter.
+  m_t=$(stat -c %Y "$M" 2>/dev/null || echo 0)
+  if [ "$m_t" -gt "$LAST_M_T" ]; then FRUITLESS=0; else FRUITLESS=$((FRUITLESS + 1)); fi
+  LAST_M_T=$m_t
+  if [ "$FRUITLESS" -ge 2 ] || tail -c 4000 "$LOG" 2>/dev/null \
+      | grep -q "NSC-LIVENESS: DEVICE WEDGED"; then
+    backoff=$(( WEDGE_BACKOFF_S * FRUITLESS ))
+    [ "$backoff" -lt "$WEDGE_BACKOFF_S" ] && backoff=$WEDGE_BACKOFF_S
+    [ "$backoff" -gt 1800 ] && backoff=1800
+    echo "$(date) wedge suspected (fruitless=$FRUITLESS) -> backoff ${backoff}s" >> "$WLOG"
+    sleep "$backoff"
+    [ -f "$STOP_FILE" ] && { echo "$(date) stop file -> exit" >> "$WLOG"; exit 0; }
+  fi
   rm -rf "$WORKDIR"/train/*.orbax-checkpoint-tmp \
          "$WORKDIR"/infer/*.orbax-checkpoint-tmp \
          "$WORKDIR"/infer_best/*.orbax-checkpoint-tmp
@@ -47,6 +73,8 @@ launch() {
   LAUNCH_T=$(date +%s)
   echo "$(date) launched pid $(cat "$PID_FILE") ($WORKDIR)" >> "$WLOG"
 }
+LAST_M_T=$(stat -c %Y "$M" 2>/dev/null || echo 0)
+FRUITLESS=-1   # first launch is not a restart
 launch "$@"
 while true; do
   sleep 120

@@ -65,3 +65,26 @@ def test_crash_and_resume(tmp_path):
         best = json.load(f)
     assert best["metric"] == "loss/mel"
     assert np.isfinite(best["value"]) and 1 <= best["step"] <= 7
+
+
+def test_first_checkpoint_boundary_is_a_full_save(tmp_path):
+    """A fresh run must leave a resumable FULL save at its first checkpoint
+    boundary even when full_state_every is larger: a crash in the first
+    full_state_every steps then costs checkpoint_every steps, not the whole
+    run (2026-08-17 wedge: 600 steps lost with the first full save scheduled
+    at 2000)."""
+    import dataclasses
+
+    cfg = get_config("tiny_test")
+    wd = str(tmp_path / "run")
+    tcfg = dataclasses.replace(_tcfg(), checkpoint_every=2, full_state_every=100)
+    loop_lib.run(cfg, tcfg, workdir=wd, data_spec="synthetic", steps=5)
+    from nsc_tpu.train import checkpoint as ckpt
+
+    mgr = ckpt._manager(os.path.join(wd, "train"))
+    steps = sorted(mgr.all_steps())
+    # full saves: first boundary (2, forced), final (5); boundary 4 stays
+    # inference-only (cadence 100 not yet reached since the step-2 full save)
+    assert 2 in steps, f"no full save at the first boundary (got {steps})"
+    assert 4 not in steps
+    assert 5 in steps
