@@ -50,6 +50,15 @@ def main() -> None:
     from nsc_tpu import api
     from nsc_tpu.utils.cache import enable_compilation_cache
 
+    # Fail FAST if the relay's device claim is wedged (2026-08-17 incident:
+    # jax.devices() hung indefinitely; a hung bench would eat the driver's
+    # whole capture budget and record nothing actionable). Exit 97 with a
+    # greppable marker instead — see docs/RUNBOOK.md "Relay wedge". Must run
+    # BEFORE enable_compilation_cache: that calls jax.default_backend(),
+    # which is itself the first (hangable) backend touch.
+    from nsc_tpu.utils.liveness import device_liveness_check
+
+    device_liveness_check()
     enable_compilation_cache()
     # Backends picked by measurement (docs/PERFORMANCE.md): native XLA convs
     # beat the matmul reformulations end-to-end (stacked pays HBM

@@ -70,14 +70,16 @@ def run(
     steps = steps if steps is not None else tcfg.steps
     from nsc_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()  # restarts skip the multi-minute step compile
     # Prove the device answers BEFORE any expensive startup (state init,
     # data-init, cold compile): when the relay claim is wedged, fail in
     # minutes with a distinctive exit code the supervisor can grep for,
     # instead of hanging silently until its stale-kill (utils/liveness.py).
+    # Must precede enable_compilation_cache — jax.default_backend() there is
+    # itself the first (hangable) backend touch.
     from nsc_tpu.utils.liveness import Heartbeat, device_liveness_check
 
     device_liveness_check()
+    enable_compilation_cache()  # restarts skip the multi-minute step compile
     mesh = make_mesh()
     n_dev = mesh.devices.size
     if tcfg.batch_size % n_dev:

@@ -34,6 +34,7 @@ contract: ``scripts/train_watchdog.sh`` greps the run log for them.
 from __future__ import annotations
 
 import os
+import sys
 import threading
 import time
 from typing import Callable, Optional
@@ -81,7 +82,7 @@ def device_liveness_check(
                 "the device/relay claim is hung; exiting "
                 f"{EXIT_DEVICE_WEDGED} (restarts cannot fix this; the pool "
                 "must reclaim the grant)",
-                flush=True,
+                file=sys.stderr, flush=True,
             )
             _exit(EXIT_DEVICE_WEDGED)
 
@@ -93,7 +94,7 @@ def device_liveness_check(
     finally:
         done.set()
     dt = time.monotonic() - t0
-    print(f"NSC-LIVENESS: device ok ({dt:.1f}s)", flush=True)
+    print(f"NSC-LIVENESS: device ok ({dt:.1f}s)", file=sys.stderr, flush=True)
     return dt
 
 
@@ -144,7 +145,7 @@ class Heartbeat:
                     f"{_MARKER_STALLED}: no progress for {self._timeout:.0f}s"
                     f" past deadline (last step: {step}); exiting "
                     f"{EXIT_STALLED} so the supervisor restarts cleanly",
-                    flush=True,
+                    file=sys.stderr, flush=True,
                 )
                 self._exit_fn(EXIT_STALLED)
                 return  # only reached with an injected _exit (tests)

@@ -72,4 +72,5 @@ def test_real_exit_code_via_subprocess():
         timeout=60,
     )
     assert p.returncode == liveness.EXIT_DEVICE_WEDGED
-    assert "NSC-LIVENESS: DEVICE WEDGED" in p.stdout
+    # markers go to stderr so bench.py's one-JSON-line stdout contract holds
+    assert "NSC-LIVENESS: DEVICE WEDGED" in p.stderr
