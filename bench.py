@@ -24,6 +24,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def flagship_key(d: str):
+    """Deterministic 'newest flagship artifact' ordering: the training step
+    recorded in meta.json first (lexicographic names lie — 'base_fast_9000' >
+    'base_fast_30000' — and mtimes collapse to the checkout time on a fresh
+    clone, ADVICE r3 + r4 review), mtime as the tiebreak for meta-less dirs."""
+    try:
+        with open(os.path.join(d, "meta.json")) as f:
+            step = int(json.load(f).get("step", -1))
+    except (OSError, ValueError):
+        step = -1
+    return (step, os.path.getmtime(d))
+
+
 def _flagship():
     """The flagship serving bundle: the TRAINED base_fast checkpoint when the
     artifact exists (its trained activation IS the fast serving activation,
@@ -32,11 +45,8 @@ def _flagship():
     from nsc_tpu import api
 
     here = os.path.dirname(os.path.abspath(__file__))
-    # newest by mtime, NOT lexicographic: "base_fast_9000" sorts after
-    # "base_fast_30000" and would silently bench an older checkpoint
-    # (ADVICE r3)
     ckpts = glob.glob(os.path.join(here, "artifacts", "base_fast_*"))
-    ckpt = max(ckpts, key=os.path.getmtime) if ckpts else None
+    ckpt = max(ckpts, key=flagship_key) if ckpts else None
     cfg_name = "base_fast"
     if ckpt and os.path.exists(os.path.join(ckpt, "meta.json")):
         cfg_name = json.load(open(os.path.join(ckpt, "meta.json"))).get(

@@ -232,10 +232,12 @@ def config5_sweep():
     out["checkpoint"] = "artifacts/small_synthetic_30k"
     out["rows"] = bitrate_sweep(bundle, wavs)
 
-    # newest by mtime, not lexicographic (ADVICE r3; see bench.py)
+    # deterministic newest: meta.json step, then mtime (see bench.flagship_key)
+    from bench import flagship_key
+
     flag = glob.glob(os.path.join(here, "artifacts", "base_fast_*"))
     if flag:
-        newest = max(flag, key=os.path.getmtime)
+        newest = max(flag, key=flagship_key)
         # score the flagship on ITS OWN training distribution (meta.json
         # written by scripts/export_flagship.py; pre-meta artifacts trained
         # on the v1 synthetic source)

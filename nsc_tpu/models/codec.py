@@ -37,10 +37,10 @@ class NeuralSpeechCodec:
         n_q: Optional[int] = None,
     ) -> jax.Array:
         """(N, T) or (N, T, 1) waveform -> (N, F, n_q) int32 indices."""
-        x = self._shape_wav(wav)
-        z = seanet.apply_encoder(params["encoder"], x, self.cfg)
-        z = self._project_in(params, z)
-        return rvq_ops.quantize(rvq, z, n_q=n_q, backend=self.cfg.rvq_backend)
+        return rvq_ops.quantize(
+            rvq, self.latents(params, wav), n_q=n_q,
+            backend=self.cfg.rvq_backend,
+        )
 
     def latents(self, params: Params, wav: jax.Array) -> jax.Array:
         """(N, T) waveform -> (N, F, D) PRE-quantization latents (projected

@@ -219,8 +219,10 @@ def init_codebooks_from_data(
     inside the distribution it must tile.
 
     z: (..., D) pre-quantization latents (model.encode's projected latents
-    for factorized configs). Sampling is with replacement via a replicated
-    `key` permutation, so the function is safe to run under one device (the
+    for factorized configs). Sampling is WITHOUT replacement (a permutation
+    of the pool, so seed points are distinct; it wraps — introducing
+    duplicates — only when K exceeds the pool size). The `key` must be
+    replicated, so the function is safe to run under one device (the
     intended use: once, eagerly, at step 0 — see train/loop.py)."""
     books = state["codebooks"]
     n_q, k, d = books.shape

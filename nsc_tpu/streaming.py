@@ -300,6 +300,15 @@ class StreamingEncoder:
             return []
         hop = self.model.cfg.hop
         lens = [c.shape[-1] for c in chunks]
+        # EVERY chunk must be hop-aligned, exactly as sequential push()es
+        # would enforce: only the concatenated total hits push's check, and
+        # an unaligned interior chunk would silently shift every later
+        # chunk's frame slice (ln // hop under-counts) and drop frames.
+        bad = [ln for ln in lens if ln % hop]
+        if bad:
+            raise ValueError(
+                f"chunk length {bad[0]} not a multiple of hop {hop}"
+            )
         idx = self.push(np.concatenate(chunks, axis=-1))
         out, f0 = [], 0
         for ln in lens:

@@ -207,68 +207,86 @@ def run(
     # guaranteed-synchronous point.
     hb = Heartbeat() if async_ckpt else None
     t0 = time.time()
-    # one-step host->device prefetch: the next batch transfers while the
-    # current step runs (dispatch is async; transfer overlaps compute)
-    pending = shard_batch(mesh, next(batches))
-    for step in range(start_step, steps):
-        batch = pending
-        if step + 1 < steps:
-            pending = shard_batch(mesh, next(batches))
-        state, metrics = step_fn(state, batch)
-        if (step + 1) % tcfg.log_every == 0 or step + 1 == steps:
-            m = {k: float(v) for k, v in metrics.items()}
-            if hb is not None:
-                hb.beat(step + 1)  # float() above forced a device sync
-            rate = tcfg.log_every / max(time.time() - t0, 1e-9)
-            m["steps_per_sec"] = rate
-            t0 = time.time()
-            logger.log(step + 1, m)
-            if tcfg.best_metric in m:
-                metric_window.append(m[tcfg.best_metric])
-            print(
-                f"step {step+1}: g={m.get('loss/g_total', 0):.4f} "
-                f"d={m.get('loss/d_total', 0):.4f} "
-                f"mel={m.get('loss/mel', 0):.4f} ({rate:.2f} it/s)"
-            )
-        if (step + 1) % tcfg.checkpoint_every == 0 or step + 1 == steps:
-            if not metric_window:
-                metric_window.append(float(metrics.get(tcfg.best_metric, np.inf)))
-            val = float(np.mean(metric_window))
-            metric_window = []
-            improved = bool(np.isfinite(val) and val < best)
-            if improved:
-                best = val
-            if writer is not None:
-                writer.join()
-            if writer_err:
-                raise writer_err[0]
-            # full train state only every full_state_every steps (or at the
-            # end); inference-only (~10x smaller pull) otherwise — see
-            # TrainConfig.full_state_every
-            full = (
-                not tcfg.full_state_every
-                or not have_full
-                or (step + 1 - last_full) >= tcfg.full_state_every
-                or step + 1 == steps
-            )
-            if full:
-                last_full = step + 1
-                have_full = True
-            snap = bundled_snapshot(
-                state if full
-                else {"params_g": state["params_g"], "rvq": state["rvq"]}
-            )
-            if async_ckpt and step + 1 < steps:
-                writer = threading.Thread(
-                    target=_write, args=(snap, step + 1, improved, best, full)
+    try:
+        # one-step host->device prefetch: the next batch transfers while the
+        # current step runs (dispatch is async; transfer overlaps compute)
+        pending = shard_batch(mesh, next(batches))
+        for step in range(start_step, steps):
+            batch = pending
+            if step + 1 < steps:
+                pending = shard_batch(mesh, next(batches))
+            state, metrics = step_fn(state, batch)
+            if (step + 1) % tcfg.log_every == 0 or step + 1 == steps:
+                m = {k: float(v) for k, v in metrics.items()}
+                if hb is not None:
+                    hb.beat(step + 1)  # float() above forced a device sync
+                rate = tcfg.log_every / max(time.time() - t0, 1e-9)
+                m["steps_per_sec"] = rate
+                t0 = time.time()
+                logger.log(step + 1, m)
+                if tcfg.best_metric in m:
+                    metric_window.append(m[tcfg.best_metric])
+                print(
+                    f"step {step+1}: g={m.get('loss/g_total', 0):.4f} "
+                    f"d={m.get('loss/d_total', 0):.4f} "
+                    f"mel={m.get('loss/mel', 0):.4f} ({rate:.2f} it/s)"
                 )
-                writer.start()
-            else:
-                _write(snap, step + 1, improved, best, full)
+            if (step + 1) % tcfg.checkpoint_every == 0 or step + 1 == steps:
+                if not metric_window:
+                    metric_window.append(float(metrics.get(tcfg.best_metric, np.inf)))
+                val = float(np.mean(metric_window))
+                metric_window = []
+                improved = bool(np.isfinite(val) and val < best)
+                if improved:
+                    best = val
+                if hb is not None:
+                    # reset the stall window right before the blocking
+                    # checkpoint ops: a legit relay pull can take ~4-7 min and
+                    # deserves its full deadline from ITS start; a wedged pull
+                    # still trips the detector timeout_s after this beat
+                    hb.beat(step + 1)
+                if writer is not None:
+                    writer.join()
                 if writer_err:
                     raise writer_err[0]
-    if hb is not None:
-        hb.stop()
+                # full train state only every full_state_every steps (or at the
+                # end); inference-only (~10x smaller pull) otherwise — see
+                # TrainConfig.full_state_every
+                full = (
+                    not tcfg.full_state_every
+                    or not have_full
+                    or (step + 1 - last_full) >= tcfg.full_state_every
+                    or step + 1 == steps
+                )
+                if full:
+                    last_full = step + 1
+                    have_full = True
+                snap = bundled_snapshot(
+                    state if full
+                    else {"params_g": state["params_g"], "rvq": state["rvq"]}
+                )
+                if async_ckpt and step + 1 < steps:
+                    writer = threading.Thread(
+                        target=_write, args=(snap, step + 1, improved, best, full)
+                    )
+                    writer.start()
+                else:
+                    # on TPU this branch is the FINAL step's synchronous
+                    # save: a full-state pull can legitimately run 4-7 min
+                    # on the relay, longer than the stall deadline — retire
+                    # the in-process detector and leave a wedged final save
+                    # to the supervisor
+                    if hb is not None:
+                        hb.stop()
+                    _write(snap, step + 1, improved, best, full)
+                    if writer_err:
+                        raise writer_err[0]
+    finally:
+        # retire the monitor on EVERY exit path: a daemon thread left armed
+        # would os._exit(98) out of a host process that caught the real
+        # exception (sweep runners, notebooks)
+        if hb is not None:
+            hb.stop()
     if writer is not None:
         writer.join()
     if writer_err:

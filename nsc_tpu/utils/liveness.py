@@ -106,12 +106,18 @@ class Heartbeat:
     (normal cadence is one beat per ``log_every`` steps, ~25-40 s on the
     flagship run, but an async checkpoint pull can legitimately pause the
     loop ~3-5 min — keep the deadline well above that).
+
+    Ordering constraint: both deadlines must undercut the external
+    supervisor's (``train_watchdog.sh``: ``STALE_S`` 600 after-first-row,
+    ``GRACE_S`` 900 post-launch) — the whole point is the *distinctive*
+    exit, and a detector the supervisor always beats to the kill is dead
+    code.  Hence 450 < 600 and 780 < 900.
     """
 
     def __init__(
         self,
-        timeout_s: float = 900.0,
-        first_timeout_s: float = 1800.0,
+        timeout_s: float = 450.0,
+        first_timeout_s: float = 780.0,
         *,
         poll_s: float = 5.0,
         _exit: Callable[[int], None] = os._exit,

@@ -48,6 +48,7 @@ def main(argv=None) -> int:
 
     run_dir = os.path.abspath(args.run_dir)
     src_root = None
+    explicit = args.step is not None
     step = args.step
     if step is None:
         best_path = os.path.join(run_dir, "best.json")
@@ -57,16 +58,30 @@ def main(argv=None) -> int:
             step = int(best["step"])
             print(f"best.json: {best['metric']}={best['value']:.4f} "
                   f"at step {step}")
-    for sub in ("infer_best", "infer"):
-        cand = os.path.join(run_dir, sub)
-        if step is not None and os.path.isdir(os.path.join(cand, str(step))):
-            src_root, use_step = cand, step
-            break
-        latest = ckpt.latest_step(cand)
-        if latest is not None:
-            src_root, use_step = cand, latest
-            print(f"step {step} not in {sub}; using latest {latest}")
-            break
+    # pass 1: the requested/best step, wherever it lives (infer_best is only
+    # preferred as a tiebreak — the same step exported twice is identical)
+    if step is not None:
+        for sub in ("infer_best", "infer"):
+            cand = os.path.join(run_dir, sub)
+            if os.path.isdir(os.path.join(cand, str(step))):
+                src_root, use_step = cand, step
+                break
+    if src_root is None and explicit:
+        # an EXPLICIT --step that doesn't exist must fail loudly, not ship
+        # some other checkpoint as the named artifact
+        print(f"--step {step} not found under {run_dir}/infer_best or "
+              f"{run_dir}/infer", file=sys.stderr)
+        return 1
+    # pass 2: no (usable) requested step — fall back to the latest export
+    if src_root is None:
+        for sub in ("infer_best", "infer"):
+            cand = os.path.join(run_dir, sub)
+            latest = ckpt.latest_step(cand)
+            if latest is not None:
+                src_root, use_step = cand, latest
+                if step is not None:
+                    print(f"step {step} not in {sub}; using latest {latest}")
+                break
     if src_root is None:
         print(f"no inference checkpoint under {run_dir}", file=sys.stderr)
         return 1

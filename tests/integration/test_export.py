@@ -41,3 +41,33 @@ def test_export_flagship_writes_artifact_meta_and_pin(tmp_path):
     bundle = api.load_model("tiny_test", checkpoint=str(dest), serving=True)
     exact, rate, _ = canonical.check_pin(bundle, str(dest))
     assert exact is True and rate == 1.0
+
+
+def test_export_flagship_explicit_missing_step_fails_loudly(tmp_path):
+    """An explicit --step that exists nowhere under the run must error out,
+    not silently ship some other checkpoint as the named artifact (r4
+    review): the artifact name encodes the step a human asked for."""
+    import export_flagship
+
+    cfg = get_config("tiny_test")
+    model, params, rvq = init_codec(jax.random.PRNGKey(3), cfg)
+    run_dir = tmp_path / "run"
+    ckpt.save_inference(str(run_dir / "infer_best"), 5, params, rvq)
+
+    dest = tmp_path / "artifact"
+    rc = export_flagship.main([
+        str(run_dir), "--name", "ignored", "--config", "tiny_test",
+        "--step", "9", "--dest", str(dest),
+    ])
+    assert rc == 1
+    assert not dest.exists()
+
+    # the requested step living only under infer/ (not infer_best/) must
+    # still be found and exported
+    ckpt.save_inference(str(run_dir / "infer"), 9, params, rvq)
+    rc = export_flagship.main([
+        str(run_dir), "--name", "ignored", "--config", "tiny_test",
+        "--step", "9", "--dest", str(dest),
+    ])
+    assert rc == 0
+    assert (dest / "9").is_dir()

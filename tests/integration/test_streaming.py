@@ -162,3 +162,25 @@ def test_streaming_decompress_matches_batch(bundle, wav):
 
     with pytest.raises(BitstreamError, match="fingerprint"):
         nsc_tpu.streaming_decompress(other, blob)
+
+
+def test_push_many_rejects_unaligned_interior_chunk():
+    """push_many must enforce per-chunk hop alignment exactly as sequential
+    push()es would: only the concatenated total hits push's own check, and
+    an unaligned interior chunk silently shifts every later chunk's frame
+    slice and drops frames (r4 review)."""
+    from nsc_tpu.configs import get_config
+    from nsc_tpu.models.codec import init_codec
+
+    cfg = get_config("tiny_test")
+    model, params, rvq = init_codec(jax.random.PRNGKey(0), cfg)
+    enc = streaming.StreamingEncoder(model, params, rvq)
+    hop = cfg.hop
+    rng = np.random.RandomState(0)
+    # total 2*hop is aligned; the first chunk alone is not
+    chunks = [
+        rng.randn(2, hop + hop // 2).astype(np.float32),
+        rng.randn(2, hop // 2).astype(np.float32),
+    ]
+    with pytest.raises(ValueError, match="not a multiple of hop"):
+        enc.push_many(chunks)
