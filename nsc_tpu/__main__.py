@@ -6,6 +6,7 @@
   python -m nsc_tpu eval       ref.wav [deg.wav] [--model base] [--n-q 8]
   python -m nsc_tpu info       in.nsc
   python -m nsc_tpu models
+  python -m nsc_tpu doctor     [--timeout 60] [--json]
 
 (`eval` with one file scores a codec round-trip of it; with two files it
 scores deg against ref directly.  The bitrate-sweep harness is separate:
@@ -83,6 +84,18 @@ def _build_parser() -> argparse.ArgumentParser:
     i.add_argument("input")
 
     sub.add_parser("models", help="list model configs")
+
+    doc = sub.add_parser(
+        "doctor",
+        help="environment / device diagnostics (deadline-guarded: safe to "
+        "run even when the accelerator link is wedged)",
+    )
+    doc.add_argument(
+        "--timeout", type=float, default=None,
+        help="device-probe deadline in seconds "
+        "(default NSC_DEVICE_CHECK_TIMEOUT or 420)",
+    )
+    doc.add_argument("--json", action="store_true")
     return p
 
 
@@ -116,8 +129,113 @@ def _print_quality(ref, deg, sample_rate, as_json, extra=None) -> int:
     return 0
 
 
+def _doctor(args) -> int:
+    """Environment diagnostics (SURVEY.md §6 failure-detection row): report
+    versions, backend, and a DEADLINE-GUARDED device probe, so the command
+    answers in bounded time even when the accelerator link is wedged (the
+    failure mode where plain `jax.devices()` hangs forever —
+    docs/RUNBOOK.md "Relay wedge"). Exit 0 = device answered; 97 = wedged
+    (nsc_tpu.utils.liveness.EXIT_DEVICE_WEDGED); 2 = backend init failed."""
+    import json
+    import os
+    import threading
+
+    import nsc_tpu
+    from nsc_tpu.utils import liveness
+
+    out: dict = {"nsc_tpu": getattr(nsc_tpu, "__version__", "unknown")}
+    import jax
+
+    out["jax"] = jax.__version__
+    import numpy as np
+
+    out["numpy"] = np.__version__
+    out["jax_platforms_env"] = os.environ.get("JAX_PLATFORMS")
+    out["compilation_cache_dir"] = os.environ.get("NSC_TPU_CACHE_DIR") or (
+        os.path.expanduser("~/.cache/nsc_tpu_xla")
+    )
+    out["compilation_cache_present"] = os.path.isdir(
+        out["compilation_cache_dir"]
+    )
+
+    timeout = args.timeout if args.timeout is not None else float(
+        os.environ.get("NSC_DEVICE_CHECK_TIMEOUT", "420")
+    )
+    # First backend touch under a deadline (same trick as
+    # __graft_entry__.dryrun_multichip): a wedged claim parks the daemon
+    # thread instead of the CLI.
+    info: list = []
+    err: list = []
+
+    def _touch():
+        try:
+            devs = jax.devices()
+            info.append(
+                {
+                    "backend": jax.default_backend(),
+                    "device_count": len(devs),
+                    "devices": [str(d) for d in devs],
+                }
+            )
+        except Exception as e:  # unregistered backend, bad plugin, ...
+            err.append(str(e))
+
+    t = threading.Thread(target=_touch, daemon=True)
+    t.start()
+    t.join(timeout=timeout)
+    rc = 0
+    if err:
+        out["device_status"] = "error"
+        out["device_error"] = err[0]
+        rc = 2
+    elif not info:
+        out["device_status"] = "wedged"
+        out["device_detail"] = (
+            f"jax.devices() gave no answer in {timeout:.0f}s — the "
+            "device/relay claim is hung (docs/RUNBOOK.md 'Relay wedge'); "
+            "restarting this process will not fix it"
+        )
+        rc = liveness.EXIT_DEVICE_WEDGED
+    else:
+        out.update(info[0])
+        # tiny program + host readback (dispatch alone succeeds even when
+        # d2h is dead): the definitive liveness signal, still deadline-kept
+        done = threading.Event()
+        probe: list = []
+
+        def _probe():
+            try:
+                probe.append(liveness._default_probe())
+            except Exception as e:
+                err.append(str(e))
+            finally:
+                done.set()
+
+        threading.Thread(target=_probe, daemon=True).start()
+        if not done.wait(timeout):
+            out["device_status"] = "wedged"
+            out["device_detail"] = "device program gave no result in deadline"
+            rc = liveness.EXIT_DEVICE_WEDGED
+        elif err:
+            out["device_status"] = "error"
+            out["device_error"] = err[0]
+            rc = 2
+        else:
+            out["device_status"] = "ok"
+
+    if args.json:
+        print(json.dumps(out))
+    else:
+        for k, v in out.items():
+            print(f"{k:26s} {v}")
+    return rc
+
+
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
+
+    if args.cmd == "doctor":
+        return _doctor(args)
 
     if args.cmd == "models":
         from nsc_tpu.configs import get_config, list_configs
