@@ -39,8 +39,15 @@ if [ -f /tmp/train_run.pid ] && kill -0 "$(cat /tmp/train_run.pid)" 2>/dev/null;
 fi
 echo "  host quiet"
 
-echo "== 2/6 idle settle =="
+echo "== 2/6 idle settle + device health =="
 sleep 10
+# Bounded-time wedge check (docs/RUNBOOK.md "Relay wedge"): when the relay
+# claim is hung, say so NOW instead of burning the bench/suite timeouts —
+# the only remedy is waiting for the pool to reclaim the grant.
+if ! timeout 200 python -m nsc_tpu doctor --timeout 180 --json; then
+  echo "  ERROR: device wedged/errored (see doctor output) — captures would"
+  echo "  hang or lie; retry round_close when 'doctor' exits 0"; exit 1
+fi
 
 echo "== 3/6 bench.py (headline) =="
 timeout 1200 python bench.py | tee /tmp/round_close_bench.json || exit 1
