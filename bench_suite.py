@@ -337,7 +337,11 @@ def main():
     args = p.parse_args()
 
     from nsc_tpu.utils.cache import enable_compilation_cache
+    from nsc_tpu.utils.liveness import device_liveness_check
 
+    # same fail-fast contract as bench.py: a wedged relay claim exits 97
+    # with a stderr marker instead of hanging through the suite's timeouts
+    device_liveness_check()
     enable_compilation_cache()
     wanted = {int(x) for x in args.configs.split(",")}
     results = []
