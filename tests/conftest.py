@@ -61,6 +61,10 @@ _SMOKE = {
     "test_dp_step_equals_single_device",                   # distributed DP
     "test_streaming_compress_byte_identical_to_batch",     # streaming
     "test_codebook_indices_bit_exact",                     # torch parity
+    "test_device_check_passes_on_healthy_backend",         # liveness probe
+    "test_heartbeat_fires_after_silence_and_reports_last_step",  # stall det.
+    "test_doctor_healthy_reports_and_exits_zero",          # doctor CLI
+    "test_flagship_key_orders_by_meta_step_then_mtime",    # artifact select
 }
 
 
