@@ -94,11 +94,18 @@ def check_pin(
         if int(z["fingerprint"]) != api.codebook_fingerprint(bundle.rvq):
             return None, 0.0, "pin was made from different codebooks"
         pinned = z["indices"]
+        pin_backend = str(z["backend"]) if "backend" in z else "unknown"
     idx = api.encode(bundle, probe_input(bundle.cfg, batch=pinned.shape[0]))
     if idx.shape != pinned.shape:
         return False, 0.0, f"shape {idx.shape} != pinned {pinned.shape}"
     rate = float((idx == pinned).mean())
-    return bool(rate == 1.0), rate, "vs pinned canonical indices"
+    status = "vs pinned canonical indices"
+    if pin_backend != _backend():
+        # the pin defines indices on the EXPORT backend; a cross-backend
+        # check is a float-lowering diagnostic, not the archival contract —
+        # label it so a JSON reader doesn't misread an expected mismatch
+        status += f" (pin from '{pin_backend}', checking on '{_backend()}')"
+    return bool(rate == 1.0), rate, status
 
 
 def _backend() -> str:
