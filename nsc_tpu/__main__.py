@@ -112,6 +112,7 @@ def _print_quality(ref, deg, sample_rate, as_json, extra=None) -> int:
     m["fw_seg_snr_db"] = round(quality.fw_seg_snr(ref, deg, sample_rate), 3)
     m["pesq_proxy"] = round(quality.pesq_proxy(ref, deg, sample_rate), 3)
     m["stoi_proxy"] = round(quality.stoi_proxy(ref, deg, sample_rate), 4)
+    m["visqol_nsim"] = round(quality.visqol_nsim(ref, deg, sample_rate), 4)
     try:  # faithful Taal et al. 2011 — needs >=30 active frames at 10 kHz
         m["stoi"] = round(quality.stoi(ref, deg, sample_rate), 4)
     except ValueError as e:
@@ -124,7 +125,8 @@ def _print_quality(ref, deg, sample_rate, as_json, extra=None) -> int:
         print(
             "(pesq_proxy: fwSegSNR logistic, NOT ITU-T P.862; stoi: "
             "faithful Taal et al. 2011; stoi_proxy: envelope-correlation "
-            "construction — see nsc_tpu/eval/quality.py)"
+            "construction; visqol_nsim: gammatone-NSIM core of ViSQOL, "
+            "NOT ViSQOL v3 — see nsc_tpu/eval/quality.py)"
         )
     return 0
 

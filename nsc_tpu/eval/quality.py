@@ -294,6 +294,108 @@ def stoi(ref, deg, sample_rate: int = 16_000) -> float:
     return float(np.mean(scores))
 
 
+# ---------------------------------------------------------------------------
+# ViSQOL-style NSIM (BASELINE.json:2,11 names "PESQ/ViSQOL scoring")
+# ---------------------------------------------------------------------------
+
+
+def _erb(f: np.ndarray) -> np.ndarray:
+    """Equivalent rectangular bandwidth (Hz) at frequency f (Glasberg &
+    Moore 1990): ERB(f) = 24.7 * (4.37 f/1000 + 1)."""
+    return 24.7 * (4.37 * f / 1000.0 + 1.0)
+
+
+def _gammatone_matrix(
+    n_fft: int, sample_rate: int, n_bands: int = 21, f_lo: float = 50.0,
+) -> np.ndarray:
+    """(n_bands, n_fft//2+1) power weights of an ERB-spaced 4th-order
+    gammatone filterbank — the spectro-temporal front end ViSQOL scores on.
+
+    Centers are uniform on the ERB-rate scale between f_lo and min(8 kHz,
+    Nyquist); each row is the order-4 gammatone magnitude-squared response
+    |H(f)|^2 = [1 + ((f-fc)/b)^2]^-4 with b = 1.019*ERB(fc), row-normalized.
+    """
+    f_hi = min(8000.0, sample_rate / 2.0)
+    erb_rate = lambda f: 21.4 * np.log10(1.0 + 0.00437 * f)  # noqa: E731
+    erb_inv = lambda e: (10.0 ** (e / 21.4) - 1.0) / 0.00437  # noqa: E731
+    centers = erb_inv(np.linspace(erb_rate(f_lo), erb_rate(f_hi), n_bands))
+    freqs = np.linspace(0, sample_rate / 2.0, n_fft // 2 + 1)
+    b = 1.019 * _erb(centers)
+    resp = (1.0 + ((freqs[None, :] - centers[:, None]) / b[:, None]) ** 2) ** -4.0
+    return resp / np.sum(resp, axis=1, keepdims=True)
+
+
+def _nsim(x: np.ndarray, y: np.ndarray, dyn: float) -> float:
+    """Neurogram Similarity Index Measure between two equal-shape
+    (bands, frames) images with intensity range `dyn`: SSIM's luminance and
+    structure terms (no contrast term), 3x3 Gaussian local statistics,
+    averaged over all time-frequency points (Hines & Harte 2012)."""
+    # 3x3 Gaussian window, sigma 0.5 (the SSIM/NSIM reference window)
+    g1 = np.array([np.exp(-2.0), 1.0, np.exp(-2.0)])
+    g1 /= g1.sum()
+    w = np.outer(g1, g1)
+
+    def _filt(a: np.ndarray) -> np.ndarray:
+        p = np.pad(a, 1, mode="edge")
+        out = np.zeros_like(a)
+        for i in range(3):
+            for j in range(3):
+                out += w[i, j] * p[i : i + a.shape[0], j : j + a.shape[1]]
+        return out
+
+    c1 = (0.01 * dyn) ** 2
+    c3 = (0.03 * dyn) ** 2 / 2.0
+    mx, my = _filt(x), _filt(y)
+    sxx = _filt(x * x) - mx * mx
+    syy = _filt(y * y) - my * my
+    sxy = _filt(x * y) - mx * my
+    sxx, syy = np.maximum(sxx, 0.0), np.maximum(syy, 0.0)
+    lum = (2.0 * mx * my + c1) / (mx**2 + my**2 + c1)
+    struct = (sxy + c3) / (np.sqrt(sxx * syy) + c3)
+    return float(np.mean(lum * struct))
+
+
+def visqol_nsim(
+    ref, deg, sample_rate: int = 16_000, n_fft: int = 512, hop: int = 160,
+    n_bands: int = 21, floor_db: float = 60.0,
+) -> float:
+    """ViSQOL-style similarity score in ~[0, 1] (higher = better).
+
+    *** PROXY — not Google's ViSQOL v3 (no network/package offline). ***
+    Implements the published core of ViSQOL (Hines, Skoglund, Kokaram &
+    Harte, "ViSQOL: an objective speech quality model", 2015): a gammatone
+    spectrogram (ERB-spaced 4th-order filterbank, 50 Hz - 8 kHz) in dB,
+    compared patch-wise with NSIM — SSIM's luminance*structure terms over
+    3x3 Gaussian-weighted local statistics — and averaged. What it does NOT
+    reproduce: ViSQOL's patch alignment search (our eval pairs are already
+    time-aligned by construction) and the fitted NSIM->MOS support-vector
+    mapping (training data unavailable); the raw mean NSIM is returned
+    instead of a MOS-LQO. Identical signals score exactly 1.0.
+    """
+    import jax.numpy as jnp
+
+    r2, d2 = _as2d(ref), _as2d(deg)
+    if r2.shape != d2.shape:
+        raise ValueError(f"shape mismatch {r2.shape} vs {d2.shape}")
+    # matmul-DFT magnitudes (jnp.fft is unimplemented on this TPU backend)
+    rm = np.asarray(S.stft_magnitude(
+        jnp.asarray(r2, jnp.float32), n_fft, hop, use_matmul_dft=True
+    )).astype(np.float64)
+    dm = np.asarray(S.stft_magnitude(
+        jnp.asarray(d2, jnp.float32), n_fft, hop, use_matmul_dft=True
+    )).astype(np.float64)
+    gt = _gammatone_matrix(n_fft, sample_rate, n_bands)  # (B, K)
+    scores = []
+    for rr, dd in zip(rm, dm):  # (frames, K) each
+        gr = 10.0 * np.log10(gt @ rr.T**2 + 1e-20)  # (B, frames) dB
+        gd = 10.0 * np.log10(gt @ dd.T**2 + 1e-20)
+        lo = float(np.max(gr)) - floor_db
+        gr = np.clip(gr, lo, None) - lo
+        gd = np.clip(gd, lo, None) - lo
+        scores.append(_nsim(gr, gd, dyn=floor_db))
+    return float(np.mean(scores))
+
+
 def codebook_match_rate(idx_a, idx_b) -> dict:
     """Fraction of identical indices, overall and per book (the
     BASELINE.json:2 parity metric)."""

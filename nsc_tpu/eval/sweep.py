@@ -75,6 +75,7 @@ def bitrate_sweep(
             "mel_distance": quality.mel_distance(wavs, recon, cfg.sample_rate),
             "pesq_proxy": quality.pesq_proxy(wavs, recon, cfg.sample_rate),
             "stoi_proxy": quality.stoi_proxy(wavs, recon, cfg.sample_rate),
+            "visqol_nsim": quality.visqol_nsim(wavs, recon, cfg.sample_rate),
         }
         try:  # faithful Taal et al. 2011 (needs >=30 active frames)
             row["stoi"] = quality.stoi(wavs, recon, cfg.sample_rate)
@@ -112,17 +113,20 @@ def main(argv=None) -> int:
         print(json.dumps(rows))
     else:
         print(f"{'n_q':>4} {'kbps':>7} {'ec-kbps':>8} {'SI-SNR':>8} "
-              f"{'melDist':>8} {'PESQ*':>6} {'STOI*':>6} {'STOI':>6}")
+              f"{'melDist':>8} {'PESQ*':>6} {'STOI*':>6} {'STOI':>6} "
+              f"{'NSIM*':>6}")
         for r in rows:
             print(
                 f"{r['n_q']:>4} {r['bitrate_bps']/1000:>7.2f} "
                 f"{r['entropy_bitrate_bps']/1000:>8.2f} "
                 f"{r['si_snr_db']:>8.2f} {r['mel_distance']:>8.3f} "
                 f"{r['pesq_proxy']:>6.2f} {r['stoi_proxy']:>6.3f} "
-                f"{r.get('stoi', float('nan')):>6.3f}"
+                f"{r.get('stoi', float('nan')):>6.3f} "
+                f"{r['visqol_nsim']:>6.3f}"
             )
         print("(PESQ*: fwSegSNR proxy, not ITU-T P.862. STOI*: "
-              "envelope-correlation proxy. STOI: faithful Taal et al. 2011 "
+              "envelope-correlation proxy. STOI: faithful Taal et al. 2011. "
+              "NSIM*: ViSQOL-style gammatone NSIM, not ViSQOL v3 "
               "— see eval/quality.py)")
     return 0
 

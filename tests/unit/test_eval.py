@@ -136,6 +136,47 @@ def test_stoi_faithful_silent_frame_removal_and_short_input():
         quality.stoi(np.zeros(1000), np.zeros(1000))
 
 
+def test_visqol_nsim_identity_ordering_and_range():
+    x = _tone(sec=2.0)
+    rng = np.random.RandomState(0)
+    mild = x + 0.01 * rng.randn(len(x)).astype(np.float32)
+    severe = x + 0.3 * rng.randn(len(x)).astype(np.float32)
+    s_clean = quality.visqol_nsim(x, x)
+    s_mild = quality.visqol_nsim(x, mild)
+    s_severe = quality.visqol_nsim(x, severe)
+    # identical gammatone images -> luminance and structure terms are both
+    # exactly 1 at every t-f point
+    assert s_clean == pytest.approx(1.0, abs=1e-9)
+    assert s_severe < s_mild < s_clean
+    assert 0.0 <= s_severe <= 1.0 + 1e-9
+    # severe broadband noise must cost a lot of similarity
+    assert s_severe < 0.9
+
+
+def test_visqol_nsim_tracks_spectral_damage_not_just_gain():
+    # NSIM's luminance term forgives small constant-gain offsets far more
+    # than spectral reshaping of the same energy — the perceptual property
+    # SNR-family metrics lack (a 1 dB level change is near-inaudible; a
+    # lowpass at the same SNR is obvious).
+    x = _tone(sec=2.0) + _tone(f=2200.0, sec=2.0, amp=0.25)
+    gain = (x * 10 ** (-1.0 / 20)).astype(np.float32)  # -1 dB
+    # crude lowpass: zero the 2.2 kHz component entirely
+    lowpassed = _tone(sec=2.0).astype(np.float32)
+    s_gain = quality.visqol_nsim(x, gain)
+    s_lp = quality.visqol_nsim(x, lowpassed)
+    assert s_lp < s_gain
+    assert s_gain > 0.98
+
+
+def test_visqol_nsim_gammatone_matrix_shape_and_normalization():
+    gt = quality._gammatone_matrix(512, 16000, n_bands=21)
+    assert gt.shape == (21, 257)
+    np.testing.assert_allclose(gt.sum(axis=1), 1.0, rtol=1e-12)
+    # center frequencies must be ordered and within [50, 8000]
+    peaks = gt.argmax(axis=1)
+    assert (np.diff(peaks) >= 0).all()
+
+
 def test_stoi_proxy_orders_degradations():
     """Second perceptual proxy (VERDICT r1 item 9): identity ~1, mild noise
     beats heavy noise, envelope destruction scores low."""
