@@ -40,6 +40,7 @@ _SMOKE = {
     "test_frames_roundtrip_and_truncation",                # entropy coder
     "test_si_snr_identity_and_noise",                      # eval metrics
     "test_stoi_faithful_anchors_and_ordering",             # faithful STOI
+    "test_visqol_nsim_identity_ordering_and_range",        # gammatone NSIM
     "test_factorized_roundtrip_shapes",                    # factorized codes
     "test_snake_fast_matches_snake",                       # fast activation
     "test_stacked_conv_exact_vs_reference",                # fastconv
