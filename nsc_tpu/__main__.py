@@ -140,7 +140,6 @@ def _doctor(args) -> int:
     (nsc_tpu.utils.liveness.EXIT_DEVICE_WEDGED); 2 = backend init failed."""
     import json
     import os
-    import threading
 
     import nsc_tpu
     from nsc_tpu.utils import liveness
@@ -163,34 +162,29 @@ def _doctor(args) -> int:
     timeout = args.timeout if args.timeout is not None else float(
         os.environ.get("NSC_DEVICE_CHECK_TIMEOUT", "420")
     )
-    # First backend touch under a deadline (same trick as
-    # __graft_entry__.dryrun_multichip): a wedged claim parks the daemon
-    # thread instead of the CLI.
-    info: list = []
-    err: list = []
 
+    # Two deadline-guarded backend touches (liveness.run_with_deadline — the
+    # shared mechanism; a wedged claim parks a daemon thread, not the CLI):
+    # 1. jax.devices() — the first, hangable backend init;
+    # 2. a tiny program + host readback — dispatch alone succeeds even when
+    #    d2h is dead, so the readback is the definitive liveness signal.
+    # NOTE for callers wrapping this command in an outer `timeout`: the
+    # worst case is ~2x the per-stage deadline (both stages wedging slowly).
     def _touch():
-        try:
-            devs = jax.devices()
-            info.append(
-                {
-                    "backend": jax.default_backend(),
-                    "device_count": len(devs),
-                    "devices": [str(d) for d in devs],
-                }
-            )
-        except Exception as e:  # unregistered backend, bad plugin, ...
-            err.append(str(e))
+        devs = jax.devices()
+        return {
+            "backend": jax.default_backend(),
+            "device_count": len(devs),
+            "devices": [str(d) for d in devs],
+        }
 
-    t = threading.Thread(target=_touch, daemon=True)
-    t.start()
-    t.join(timeout=timeout)
     rc = 0
-    if err:
+    status, value, _ = liveness.run_with_deadline(_touch, timeout)
+    if status == "error":
         out["device_status"] = "error"
-        out["device_error"] = err[0]
+        out["device_error"] = str(value)
         rc = 2
-    elif not info:
+    elif status == "timeout":
         out["device_status"] = "wedged"
         out["device_detail"] = (
             f"jax.devices() gave no answer in {timeout:.0f}s — the "
@@ -199,28 +193,17 @@ def _doctor(args) -> int:
         )
         rc = liveness.EXIT_DEVICE_WEDGED
     else:
-        out.update(info[0])
-        # tiny program + host readback (dispatch alone succeeds even when
-        # d2h is dead): the definitive liveness signal, still deadline-kept
-        done = threading.Event()
-        probe: list = []
-
-        def _probe():
-            try:
-                probe.append(liveness._default_probe())
-            except Exception as e:
-                err.append(str(e))
-            finally:
-                done.set()
-
-        threading.Thread(target=_probe, daemon=True).start()
-        if not done.wait(timeout):
+        out.update(value)
+        status, value, _ = liveness.run_with_deadline(
+            liveness._default_probe, timeout
+        )
+        if status == "timeout":
             out["device_status"] = "wedged"
             out["device_detail"] = "device program gave no result in deadline"
             rc = liveness.EXIT_DEVICE_WEDGED
-        elif err:
+        elif status == "error":
             out["device_status"] = "error"
-            out["device_error"] = err[0]
+            out["device_error"] = str(value)
             rc = 2
         else:
             out["device_status"] = "ok"

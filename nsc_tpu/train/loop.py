@@ -206,6 +206,15 @@ def run(
     # death).  Beats happen at every metric readback, the loop's only
     # guaranteed-synchronous point.
     hb = Heartbeat() if async_ckpt else None
+    if hb is not None and tcfg.log_every > 200:
+        # Beats only land at log boundaries: at <1 it/s a 200+-step cadence
+        # can exceed the 450 s default deadline and self-kill a healthy run.
+        print(
+            f"WARNING: log_every={tcfg.log_every} — if a metric row takes "
+            ">450 s the stall detector will fire on a healthy run; raise "
+            "NSC_HEARTBEAT_TIMEOUT (and the watchdog STALE_S above it)",
+            flush=True,
+        )
     t0 = time.time()
     try:
         # one-step host->device prefetch: the next batch transfers while the

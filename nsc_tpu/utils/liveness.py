@@ -57,6 +57,38 @@ def _default_probe() -> float:
     return float(jnp.sum(x * x))
 
 
+def run_with_deadline(
+    fn: Callable[[], object], timeout_s: float
+) -> tuple:
+    """Run ``fn`` in a daemon thread under a deadline — the building block
+    every bounded-time backend touch in this repo shares (doctor CLI,
+    liveness probe, dryrun device count). A wedged call parks the daemon
+    thread; the caller gets an answer either way.
+
+    Returns ``(status, value, dt)``: ``("ok", result, seconds)`` on success,
+    ``("error", exception, seconds)`` if ``fn`` raised, and
+    ``("timeout", None, timeout_s)`` if the deadline passed (``fn`` may
+    still be running — do not retry backend touches in-process after this).
+    """
+    done = threading.Event()
+    box: list = []
+
+    def _worker() -> None:
+        try:
+            box.append(("ok", fn()))
+        except Exception as e:  # noqa: BLE001 — diagnostic surface
+            box.append(("error", e))
+        finally:
+            done.set()
+
+    t0 = time.monotonic()
+    threading.Thread(target=_worker, daemon=True).start()
+    if not done.wait(timeout_s):
+        return "timeout", None, float(timeout_s)
+    status, value = box[0]
+    return status, value, time.monotonic() - t0
+
+
 def device_liveness_check(
     timeout_s: Optional[float] = None,
     *,
@@ -73,27 +105,19 @@ def device_liveness_check(
     """
     if timeout_s is None:
         timeout_s = float(os.environ.get("NSC_DEVICE_CHECK_TIMEOUT", "420"))
-    done = threading.Event()
-
-    def _monitor() -> None:
-        if not done.wait(timeout_s):
-            print(
-                f"{_MARKER_WEDGED}: no probe result in {timeout_s:.0f}s — "
-                "the device/relay claim is hung; exiting "
-                f"{EXIT_DEVICE_WEDGED} (restarts cannot fix this; the pool "
-                "must reclaim the grant)",
-                file=sys.stderr, flush=True,
-            )
-            _exit(EXIT_DEVICE_WEDGED)
-
-    t = threading.Thread(target=_monitor, daemon=True)
-    t.start()
-    t0 = time.monotonic()
-    try:
-        probe()
-    finally:
-        done.set()
-    dt = time.monotonic() - t0
+    status, value, dt = run_with_deadline(probe, timeout_s)
+    if status == "timeout":
+        print(
+            f"{_MARKER_WEDGED}: no probe result in {timeout_s:.0f}s — "
+            "the device/relay claim is hung; exiting "
+            f"{EXIT_DEVICE_WEDGED} (restarts cannot fix this; the pool "
+            "must reclaim the grant)",
+            file=sys.stderr, flush=True,
+        )
+        _exit(EXIT_DEVICE_WEDGED)
+        return dt  # only reached with an injected _exit (tests)
+    if status == "error":
+        raise value
     print(f"NSC-LIVENESS: device ok ({dt:.1f}s)", file=sys.stderr, flush=True)
     return dt
 
@@ -112,16 +136,29 @@ class Heartbeat:
     ``GRACE_S`` 900 post-launch) — the whole point is the *distinctive*
     exit, and a detector the supervisor always beats to the kill is dead
     code.  Hence 450 < 600 and 780 < 900.
+
+    The defaults assume a metric row lands at least every ~7 min.  A config
+    whose beat cadence is legitimately slower (huge ``log_every``, very slow
+    steps) must raise ``NSC_HEARTBEAT_TIMEOUT`` / ``NSC_HEARTBEAT_FIRST``
+    (seconds) — and the supervisor's ``STALE_S`` with them, keeping
+    heartbeat < STALE_S — or the detector self-kills a healthy run.
+    ``train.loop`` warns at startup when ``log_every`` makes this likely.
     """
 
     def __init__(
         self,
-        timeout_s: float = 450.0,
-        first_timeout_s: float = 780.0,
+        timeout_s: Optional[float] = None,
+        first_timeout_s: Optional[float] = None,
         *,
         poll_s: float = 5.0,
         _exit: Callable[[int], None] = os._exit,
     ):
+        if timeout_s is None:
+            timeout_s = float(os.environ.get("NSC_HEARTBEAT_TIMEOUT", "450"))
+        if first_timeout_s is None:
+            first_timeout_s = float(
+                os.environ.get("NSC_HEARTBEAT_FIRST", "780")
+            )
         self._timeout = float(timeout_s)
         self._deadline = time.monotonic() + float(first_timeout_s)
         self._poll = poll_s

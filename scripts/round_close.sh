@@ -15,7 +15,8 @@
 #   6. fast smoke tests    -> pytest -m smoke (<~5 min, forced CPU)
 #
 # Usage: scripts/round_close.sh [--skip-suite] [--skip-dryrun] [--skip-tests]
-set -u
+set -u -o pipefail  # pipefail: `bench.py | tee` must fail on BENCH failure,
+                    # not report tee's exit status
 REPO=$(cd "$(dirname "$0")/.." && pwd)
 cd "$REPO"
 export PYTHONPATH="$REPO:${PYTHONPATH:-}"
@@ -44,7 +45,9 @@ sleep 10
 # Bounded-time wedge check (docs/RUNBOOK.md "Relay wedge"): when the relay
 # claim is hung, say so NOW instead of burning the bench/suite timeouts —
 # the only remedy is waiting for the pool to reclaim the grant.
-if ! timeout 200 python -m nsc_tpu doctor --timeout 180 --json; then
+# outer budget > 2x the per-stage deadline: doctor runs TWO deadline-guarded
+# backend touches (devices + probe), so its worst case is ~2x --timeout
+if ! timeout 420 python -m nsc_tpu doctor --timeout 180 --json; then
   echo "  ERROR: device wedged/errored (see doctor output) — captures would"
   echo "  hang or lie; retry round_close when 'doctor' exits 0"; exit 1
 fi

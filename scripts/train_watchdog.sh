@@ -45,9 +45,15 @@ STOP_FILE=${STOP_FILE:-/tmp/train_stop}
 GRACE_S=${GRACE_S:-900}
 STALE_S=${STALE_S:-600}
 WEDGE_BACKOFF_S=${WEDGE_BACKOFF_S:-300}
-TOTAL_STEPS=$(printf ' %s ' "$@" | grep -oP -- '--steps \K[0-9]+' || echo "")
+TOTAL_STEPS=$(printf ' %s ' "$@" | grep -oP -- '--steps[= ]\K[0-9]+' || echo "")
 FRUITLESS=0
 LAST_M_T=0
+
+# A stop file left behind by a previous session (round_close.sh touches it
+# and nothing removes it) must not silently end THIS supervision run at the
+# first loop tick — starting the watchdog is an explicit request to
+# supervise, so begin from a clean slate.
+rm -f "$STOP_FILE"
 
 launch() {
   # fruitless-restart accounting: if metrics advanced since the previous
@@ -86,7 +92,19 @@ while true; do
   now=$(date +%s)
   [ $(( now - LAUNCH_T )) -lt "$GRACE_S" ] && continue
   if ! kill -0 "$(cat "$PID_FILE")" 2>/dev/null; then
-    echo "$(date) process gone -> restart" >> "$WLOG"
+    # The training process is our child, so `wait` can recover its exit
+    # status even after death. rc==0 means main() returned cleanly — the
+    # run is COMPLETE (covers --steps=N and config-default step counts the
+    # TOTAL_STEPS grep can't see); anything else (crash, liveness exit
+    # 97/98, kill) is a restart. 127 = unknown pid (not our child after a
+    # supervisor restart): fall through to restart, auto-resume makes
+    # relaunching a finished run a no-op that then exits 0.
+    wait "$(cat "$PID_FILE")" 2>/dev/null
+    rc=$?
+    if [ "$rc" -eq 0 ]; then
+      echo "$(date) process exited 0 -> run complete" >> "$WLOG"; exit 0
+    fi
+    echo "$(date) process gone (rc=$rc) -> restart" >> "$WLOG"
     launch "$@"; continue
   fi
   age=$(( now - $(stat -c %Y "$M" 2>/dev/null || echo 0) ))

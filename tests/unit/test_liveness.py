@@ -19,6 +19,32 @@ def test_device_check_passes_on_healthy_backend():
     assert dt < 60.0
 
 
+def test_run_with_deadline_ok_error_timeout():
+    status, value, dt = liveness.run_with_deadline(lambda: 41 + 1, 5.0)
+    assert (status, value) == ("ok", 42) and dt < 5.0
+
+    def boom():
+        raise RuntimeError("no backend")
+
+    status, value, _ = liveness.run_with_deadline(boom, 5.0)
+    assert status == "error" and isinstance(value, RuntimeError)
+
+    status, value, dt = liveness.run_with_deadline(
+        lambda: time.sleep(1.0), 0.1
+    )
+    assert (status, value) == ("timeout", None) and dt == 0.1
+
+
+def test_heartbeat_env_override(monkeypatch):
+    monkeypatch.setenv("NSC_HEARTBEAT_TIMEOUT", "123")
+    monkeypatch.setenv("NSC_HEARTBEAT_FIRST", "456")
+    hb = liveness.Heartbeat(poll_s=60.0, _exit=lambda c: None)
+    try:
+        assert hb._timeout == 123.0
+    finally:
+        hb.stop()
+
+
 def test_device_check_exits_on_wedged_probe():
     codes = []
 
