@@ -103,8 +103,11 @@ def run(
 
         seg0 = int(tcfg.segment_seconds * cfg.sample_rate)
         seg0 = max(cfg.hop, (seg0 // cfg.hop) * cfg.hop)
+        # strip any :pool= suffix — one warm batch must not trigger minutes
+        # of pool synthesis (the pool is a steady-state throughput fix)
+        warm_spec = data_spec.partition(":pool=")[0]
         warm = next(
-            data_lib.make_source(data_spec, cfg.sample_rate, tcfg.seed)
+            data_lib.make_source(warm_spec, cfg.sample_rate, tcfg.seed)
             .batches(min(tcfg.batch_size, 16), seg0)
         )
         z = jax.jit(model.latents)(state["params_g"], jnp.asarray(warm))
@@ -122,6 +125,8 @@ def run(
     source = data_lib.make_source(
         data_spec, cfg.sample_rate, tcfg.seed + 1009 * jax.process_index()
     )
+    if hasattr(source, "set_cache_dir"):
+        source.set_cache_dir(workdir)
     local_batch = tcfg.batch_size // jax.process_count()
     # background-thread batch assembly + one-step device prefetch below:
     # crop/synthesis work and host->device transfer both overlap the step

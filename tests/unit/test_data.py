@@ -72,6 +72,34 @@ def test_grain_source_shard_validation(wav_dir):
     assert shards[5] == shards[0]  # wraps: 5 % 5 == 0
 
 
+def test_pooled_source_spec_batches_and_determinism():
+    src = D.make_source("synthetic:pool=24", 16_000, seed=9)
+    assert isinstance(src, D.PooledSource)
+    it = src.batches(4, 1600)
+    b1, b2 = next(it), next(it)
+    assert b1.shape == (4, 1600) and b1.dtype == np.float32
+    assert float(np.abs(b1).max()) <= 1.0
+    assert not np.allclose(b1, b2)  # sampler advances
+    it2 = D.make_source("synthetic:pool=24", 16_000, seed=9).batches(4, 1600)
+    np.testing.assert_allclose(next(it2), b1)
+
+
+def test_pooled_source_disk_cache_roundtrip(tmp_path):
+    src = D.make_source("synthetic:pool=8", 16_000, seed=2)
+    src.set_cache_dir(str(tmp_path))
+    b1 = next(src.batches(2, 800))
+    cache_files = [f for f in os.listdir(tmp_path) if f.endswith(".npy")]
+    assert len(cache_files) == 1
+    # a fresh instance must LOAD the pool (byte-identical batches), not
+    # regenerate it — overwrite the cache to prove the load path is taken
+    pool = np.load(tmp_path / cache_files[0])
+    src2 = D.make_source("synthetic:pool=8", 16_000, seed=2)
+    src2.set_cache_dir(str(tmp_path))
+    b2 = next(src2.batches(2, 800))
+    np.testing.assert_allclose(b2, b1)
+    np.testing.assert_allclose(src2._pool, pool)
+
+
 def test_prefetcher_passthrough_and_close():
     it = iter([np.ones(2), np.zeros(2)])
     pf = D.Prefetcher(it)
