@@ -28,13 +28,18 @@ def flagship_key(d: str):
     """Deterministic 'newest flagship artifact' ordering: the training step
     recorded in meta.json first (lexicographic names lie — 'base_fast_9000' >
     'base_fast_30000' — and mtimes collapse to the checkout time on a fresh
-    clone, ADVICE r3 + r4 review), mtime as the tiebreak for meta-less dirs."""
+    clone, ADVICE r3 + r4 review); an offline codebook REFIT of the same
+    step supersedes its source (refit_flagship.py only exports on measured
+    improvement, so at equal step the refit dominates by construction);
+    mtime last, as the tiebreak for meta-less dirs."""
     try:
         with open(os.path.join(d, "meta.json")) as f:
-            step = int(json.load(f).get("step", -1))
+            meta = json.load(f)
+        step = int(meta.get("step", -1))
+        refit = 1 if meta.get("refit") else 0
     except (OSError, ValueError, TypeError):  # missing/corrupt/null step
-        step = -1
-    return (step, os.path.getmtime(d))
+        step, refit = -1, 0
+    return (step, refit, os.path.getmtime(d))
 
 
 def _flagship():
