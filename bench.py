@@ -28,18 +28,23 @@ def flagship_key(d: str):
     """Deterministic 'newest flagship artifact' ordering: the training step
     recorded in meta.json first (lexicographic names lie — 'base_fast_9000' >
     'base_fast_30000' — and mtimes collapse to the checkout time on a fresh
-    clone, ADVICE r3 + r4 review); an offline codebook REFIT of the same
-    step supersedes its source (refit_flagship.py only exports on measured
-    improvement, so at equal step the refit dominates by construction);
-    mtime last, as the tiebreak for meta-less dirs."""
+    clone, ADVICE r3 + r4 review); at equal step, the LINEAGE depth — how
+    many offline derivation passes (codebook refit, decoder finetune)
+    produced the artifact — orders next, since each pass only exports on
+    measured improvement (refit_flagship.py / finetune_flagship.py gates),
+    so a deeper lineage dominates by construction (ADVICE r4 #3: a boolean
+    refit flag tied refit-of-refit artifacts and fell back to mtime, which
+    collapses to checkout time on a fresh clone); mtime last, as the
+    tiebreak for meta-less dirs only."""
     try:
         with open(os.path.join(d, "meta.json")) as f:
             meta = json.load(f)
         step = int(meta.get("step", -1))
-        refit = 1 if meta.get("refit") else 0
+        # artifacts exported before the lineage field: refit == lineage 1
+        lineage = int(meta.get("lineage", 1 if meta.get("refit") else 0))
     except (OSError, ValueError, TypeError):  # missing/corrupt/null step
-        step, refit = -1, 0
-    return (step, refit, os.path.getmtime(d))
+        step, lineage = -1, 0
+    return (step, lineage, os.path.getmtime(d))
 
 
 def _flagship():
