@@ -158,7 +158,16 @@ def config2_batched_and_streaming():
             round(float(np.percentile(ts, 90)) * 1000, 1),
         ],
         "stream_n": n_chunks,
-        "stream_rtf": round(64 * 0.5 / med, 1),
+        # DEFINITION (changed r5, VERDICT r4 #6): `stream_rtf` is the rate of
+        # the PUBLIC streaming path's default operating point — since r5
+        # streaming_compress/decompress queue queue_chunks=4 chunks per
+        # dispatch (push_many), so the headline rides the queued measurement.
+        # The old chunk-at-a-time series (r2-r4 values 480-490x on this rig)
+        # stays reported as `stream_rtf_chunk_at_a_time` — it is the
+        # interactive-latency operating point (queue_chunks=1), not a
+        # comparable series to the new headline.
+        "stream_rtf": round(64 * 0.5 / med_q, 1),
+        "stream_rtf_chunk_at_a_time": round(64 * 0.5 / med, 1),
         "stream_queued4_chunk_ms": round(med_q * 1000, 1),
         "stream_queued4_rtf": round(64 * 0.5 / med_q, 1),
         "stream_device_resident_chunk_ms": round(med_dev * 1000, 1),

@@ -51,6 +51,11 @@ def _build_parser() -> argparse.ArgumentParser:
         help="arithmetic-code the index planes (smaller streams for "
         "trained codebooks; decompress auto-detects)",
     )
+    c.add_argument(
+        "--queue-chunks", type=int, default=4, metavar="K",
+        help="streaming mode: chunks encoded per device dispatch "
+        "(throughput; 1 = strict chunk-at-a-time latency; identical bytes)",
+    )
     add_model_args(c)
 
     d = sub.add_parser("decompress", help="nsc bitstream -> wav")
@@ -60,6 +65,11 @@ def _build_parser() -> argparse.ArgumentParser:
         "--streaming", type=float, default=None, metavar="SECONDS",
         help="decode in chunks of this many seconds through the streaming "
         "decoder (bounded memory for long streams)",
+    )
+    d.add_argument(
+        "--queue-chunks", type=int, default=4, metavar="K",
+        help="streaming mode: index blocks decoded per device dispatch "
+        "(throughput; 1 = strict chunk-at-a-time latency; identical bytes)",
     )
     add_model_args(d)
 
@@ -280,7 +290,7 @@ def main(argv=None) -> int:
         if args.streaming:
             blob = nsc_tpu.streaming_compress(
                 bundle, wav, chunk_seconds=args.streaming, n_q=args.n_q,
-                entropy_coding=args.entropy,
+                entropy_coding=args.entropy, queue_chunks=args.queue_chunks,
             )
         else:
             blob = nsc_tpu.compress(
@@ -295,7 +305,8 @@ def main(argv=None) -> int:
         blob = open(args.input, "rb").read()
         if args.streaming:
             wav = nsc_tpu.streaming_decompress(
-                bundle, blob, chunk_seconds=args.streaming, n_q=args.n_q
+                bundle, blob, chunk_seconds=args.streaming, n_q=args.n_q,
+                queue_chunks=args.queue_chunks,
             )
         else:
             wav = nsc_tpu.decompress(bundle, blob, n_q=args.n_q)

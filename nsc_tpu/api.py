@@ -306,11 +306,21 @@ def streaming_compress(
     n_q: Optional[int] = None,
     *,
     entropy_coding: bool = False,
+    queue_chunks: int = 4,
 ) -> bytes:
     """compress() through the stateful chunked encoder (SURVEY.md §3 #10,
     BASELINE.json:8): bounded memory for arbitrarily long inputs, indices
     bit-identical to batch compress of the same audio (tested in
-    tests/integration/test_streaming.py). Requires a causal config."""
+    tests/integration/test_streaming.py). Requires a causal config.
+
+    queue_chunks: chunks encoded per device dispatch (StreamingEncoder.
+    push_many). File-level compression is throughput-bound, not
+    latency-bound, and the per-program dispatch overhead on a relay-tunneled
+    rig (~28 ms) dominates 1 s chunks — queuing 4 lifted end-to-end
+    streaming RTF from ~483x to over the 500x bar (VERDICT r4 #6;
+    bench_suite config 2). Set 1 for strict chunk-at-a-time behavior
+    (interactive latency); indices are bit-identical either way (the carried
+    state evolves identically — tested)."""
     from nsc_tpu.streaming import StreamingEncoder
 
     arr = np.asarray(wav, dtype=np.float32)
@@ -320,10 +330,12 @@ def streaming_compress(
     chunk = max(cfg.hop, int(chunk_seconds * cfg.sample_rate) // cfg.hop * cfg.hop)
     padded = np.pad(arr, (0, (-len(arr)) % cfg.hop))
     enc = StreamingEncoder(bundle.model, bundle.params, bundle.rvq, n_q=n_q)
-    idx = np.concatenate(
-        [enc.push(padded[i : i + chunk]) for i in range(0, len(padded), chunk)],
-        axis=0,
-    )
+    chunks = [padded[i : i + chunk] for i in range(0, len(padded), chunk)]
+    group = max(1, int(queue_chunks))
+    blocks: list = []
+    for g in range(0, len(chunks), group):
+        blocks.extend(enc.push_many(chunks[g : g + group]))
+    idx = np.concatenate(blocks, axis=0)
     flags = bitstream.FLAG_FINGERPRINT
     if entropy_coding:
         flags |= bitstream.FLAG_ENTROPY
@@ -346,11 +358,15 @@ def streaming_decompress(
     blob: bytes,
     chunk_seconds: float = 1.0,
     n_q: Optional[int] = None,
+    *,
+    queue_chunks: int = 4,
 ) -> np.ndarray:
     """decompress() through the stateful chunked decoder: bounded memory for
     arbitrarily long streams. Chunks have a fixed frame count (one compiled
     program); the final partial chunk is zero-padded and trimmed — trailing
-    pad frames cannot affect earlier samples of a causal decoder."""
+    pad frames cannot affect earlier samples of a causal decoder.
+    queue_chunks: index blocks decoded per device dispatch (push_many) —
+    same throughput rationale as streaming_compress; 1 = chunk-at-a-time."""
     from nsc_tpu.streaming import StreamingDecoder
 
     header, idx = bitstream.deserialize(blob, max_n_q=n_q)
@@ -358,12 +374,18 @@ def streaming_decompress(
     cfg = bundle.cfg
     fpc = max(1, int(chunk_seconds * cfg.sample_rate) // cfg.hop)
     dec = StreamingDecoder(bundle.model, bundle.params, bundle.rvq, n_q=n_q)
-    parts = []
+    blocks, gots = [], []
     for s in range(0, idx.shape[0], fpc):
         c = idx[s : s + fpc]
-        got = c.shape[0]
-        if got < fpc:
-            c = np.pad(c, ((0, fpc - got), (0, 0)))
-        parts.append(dec.push(c)[: got * cfg.hop])
+        gots.append(c.shape[0])
+        if c.shape[0] < fpc:
+            c = np.pad(c, ((0, fpc - c.shape[0]), (0, 0)))
+        blocks.append(c)
+    group = max(1, int(queue_chunks))
+    parts = []
+    for g in range(0, len(blocks), group):
+        outs = dec.push_many(blocks[g : g + group])
+        for out, got in zip(outs, gots[g : g + group]):
+            parts.append(out[: got * cfg.hop])
     wav = np.concatenate(parts, axis=0) if parts else np.zeros(0, np.float32)
     return np.asarray(wav, np.float32)[: header.orig_len]
