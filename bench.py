@@ -178,6 +178,60 @@ def main() -> None:
     match_ref = float((idx_serv == idx_ref).mean())
     match_f32 = float((idx_serv == idx_f32).mean())
 
+    # Waveform side of the parity contract (VERDICT r4 #5 / BASELINE.json:5
+    # "waveforms within float tolerance" — previously measured nowhere
+    # on-chip). Two decompositions on the probe batch:
+    #   * wav_divergence_total: serving reconstruct vs the f32 archival
+    #     lowering end-to-end — includes the effect of the ~8-9% index flips.
+    #   * wav_divergence_decode_only: both decoders fed the SAME (serving)
+    #     indices — isolates decode-side dtype/kernel divergence from the
+    #     index flips. This is the number that must stay inside float
+    #     tolerance for archival decode to be lowering-independent.
+    from nsc_tpu.eval import quality
+
+    f32_codec = NeuralSpeechCodec(f32_cfg)
+    wav_serv = np.asarray(
+        jax.jit(lambda p, q, w: model.reconstruct(p, q, w))(params, rvq, pw)
+    )
+    wav_f32 = np.asarray(
+        jax.jit(lambda p, q, w: f32_codec.reconstruct(p, q, w))(params, rvq, pw)
+    )
+    dec_serv = np.asarray(
+        jax.jit(lambda p, q, i: model.decode(p, q, i))(params, rvq, idx_serv)
+    )
+    dec_f32 = np.asarray(
+        jax.jit(lambda p, q, i: f32_codec.decode(p, q, i))(params, rvq, idx_serv)
+    )
+    wav_div_total = {
+        "mel_distance": round(
+            quality.mel_distance(wav_f32, wav_serv, cfg.sample_rate), 6
+        ),
+        "max_abs": round(float(np.max(np.abs(wav_serv - wav_f32))), 6),
+    }
+    wav_div_decode = {
+        "mel_distance": round(
+            quality.mel_distance(dec_f32, dec_serv, cfg.sample_rate), 6
+        ),
+        "max_abs": round(float(np.max(np.abs(dec_serv - dec_f32))), 6),
+    }
+
+    # Argmin safety margins (VERDICT r4 #5b): distribution of top1-top2 f32
+    # distance gaps on the probe — the predictive indicator for pin
+    # stability. Trend across rounds lives in docs/PERFORMANCE.md.
+    from nsc_tpu.ops import rvq as rvq_ops
+
+    lat = jax.jit(lambda p, w: model.latents(p, w))(params, pw)
+    margins = np.asarray(
+        jax.jit(lambda q, z: rvq_ops.argmin_margins(q, z))(rvq, lat)
+    ).ravel()
+    margin_pct = {
+        "p0": float(np.min(margins)),
+        "p1": float(np.percentile(margins, 1)),
+        "p5": float(np.percentile(margins, 5)),
+        "p50": float(np.percentile(margins, 50)),
+    }
+    margin_pct = {k: round(v, 8) for k, v in margin_pct.items()}
+
     print(
         json.dumps(
             {
@@ -197,6 +251,9 @@ def main() -> None:
                 "index_match_vs_pinned_canonical": round(pin_rate, 6),
                 "index_match_vs_reference_lowering": round(match_ref, 6),
                 "index_match_vs_f32_parity": round(match_f32, 6),
+                "wav_divergence_total": wav_div_total,
+                "wav_divergence_decode_only": wav_div_decode,
+                "argmin_margin_percentiles": margin_pct,
             }
         )
     )

@@ -140,6 +140,44 @@ def dequantize(
     return out
 
 
+def argmin_margins(
+    state: RVQState, z: jax.Array, n_q: Optional[int] = None
+) -> jax.Array:
+    """Per-stage argmin SAFETY MARGINS: top2 − top1 of the f32 distance
+    scores at every residual step. z: (..., D) -> (..., n_q) f32 margins.
+
+    Diagnostic for the canonical-pin contract (nsc_tpu/canonical.py,
+    VERDICT r4 weak #4): cross-lowering index agreement erodes as trained
+    codebooks densify (99.85% at random init → 91.6% after the r4 refit)
+    because bf16-path reorderings flip indices whose top1/top2 distances are
+    nearly tied. The margin distribution on a probe batch is the predictive
+    indicator — if the low percentiles shrink toward the f32 rounding noise
+    of the score computation (~1e-6 · ‖c‖²-scale), pin reproduction is one
+    compiler/runtime bump from flaking and bench output should show it
+    BEFORE it flakes. Uses the exact `_nearest` score contract
+    (‖c‖² − 2r·c in f32, precision=HIGHEST); margins are invariant to the
+    dropped ‖r‖² term. The residual chain follows the top1 assignment, so
+    stage q's margin is conditioned on the canonical stage<q path."""
+    books = state["codebooks"] if n_q is None else state["codebooks"][:n_q]
+    lead = z.shape[:-1]
+    r0 = z.reshape(-1, z.shape[-1]).astype(jnp.float32)
+
+    def step(residual, cb):
+        c = cb.astype(jnp.float32)
+        c_sq = jnp.sum(c * c, axis=-1)
+        scores = c_sq[None, :] - 2.0 * jnp.dot(
+            residual, c.T, preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )  # (M, K)
+        top2, _ = lax.top_k(-scores, 2)  # negated: top2[:,0] = min score
+        margin = -top2[:, 1] + top2[:, 0]  # second_smallest - smallest >= 0
+        idx = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+        return residual - c[idx], margin
+
+    _, margins = lax.scan(step, r0, books)  # (n_q, M)
+    return jnp.moveaxis(margins, 0, -1).reshape(*lead, books.shape[0])
+
+
 def forward(
     state: RVQState,
     z: jax.Array,

@@ -177,3 +177,28 @@ def test_init_codebooks_from_data():
     np.testing.assert_array_equal(
         np.asarray(out["codebooks"]), np.asarray(out2["codebooks"])
     )
+
+
+def test_argmin_margins_matches_dense_oracle():
+    """argmin_margins == (second-smallest - smallest) of the exact `_nearest`
+    score (||c||^2 - 2 r.c in f32), with the residual chain following the
+    canonical top1 path (VERDICT r4 #5 pin-stability diagnostic)."""
+    cfg, st = _state()
+    z = np.random.RandomState(3).randn(2, 9, cfg.codebook_dim).astype(
+        np.float32
+    )
+    got = np.asarray(rvq.argmin_margins(st, jnp.asarray(z)))
+    assert got.shape == (2, 9, cfg.num_quantizers)
+    assert (got >= 0).all()
+
+    r = z.reshape(-1, cfg.codebook_dim).astype(np.float32)
+    books = np.asarray(st["codebooks"], np.float32)
+    want = np.zeros((r.shape[0], books.shape[0]), np.float32)
+    for q, cb in enumerate(books):
+        scores = (cb * cb).sum(-1)[None, :] - 2.0 * r @ cb.T
+        part = np.sort(scores, axis=-1)[:, :2]
+        want[:, q] = part[:, 1] - part[:, 0]
+        r = r - cb[np.argmin(scores, axis=-1)]
+    np.testing.assert_allclose(
+        got.reshape(-1, books.shape[0]), want, rtol=1e-4, atol=1e-5
+    )
