@@ -260,10 +260,27 @@ def config5_sweep():
             pass
         from nsc_tpu.train.data import make_source
 
-        fwavs = next(make_source(data_spec, 16000, 7).batches(2, 160000))
+        # >=16k held-out frames (VERDICT r4 #3): 1024-entry usage/perplexity
+        # on a 1k-frame pool is frame-capped (usage can't exceed
+        # frames/1024); 32 x 10 s at hop 320 = 16k frames makes the
+        # utilization columns meaningful at K=1024.
         bundle16 = nsc_tpu.load_model(cfg_name, checkpoint=newest)
+        n_seg = max(2, (16_384 * bundle16.cfg.hop) // 160_000 + 1)
+        fwavs = next(make_source(data_spec, 16000, 7).batches(n_seg, 160000))
         out["flagship_checkpoint"] = os.path.relpath(newest, here)
         out["flagship_data"] = data_spec
+        out["flagship_eval_frames"] = int(
+            fwavs.shape[0] * (fwavs.shape[1] // bundle16.cfg.hop)
+        )
+        # pin the artifact identity beside the rows (VERDICT r4 #3/weak #3:
+        # the r4 suite silently described a different checkpoint than
+        # bench.py's headline) — round_close.sh fails if this disagrees with
+        # bench.py's selected checkpoint
+        try:
+            with open(os.path.join(newest, "meta.json")) as f:
+                out["flagship_meta"] = json.load(f)
+        except (OSError, ValueError):
+            out["flagship_meta"] = None
         out["flagship_rows"] = bitrate_sweep(bundle16, fwavs)
     return out
 

@@ -58,6 +58,23 @@ timeout 1200 python bench.py | tee /tmp/round_close_bench.json || exit 1
 if [ -z "$SKIP_SUITE" ]; then
   echo "== 4/6 bench_suite.py -> bench_suite.json =="
   timeout 3600 python bench_suite.py || exit 1
+  # Staleness guard (VERDICT r4 #4): the suite's flagship rows and bench.py's
+  # headline must describe the SAME checkpoint — round 4 shipped a suite
+  # captured against the pre-refit artifact while the headline had moved on.
+  python - <<'PYEOF' || exit 1
+import json, sys
+bench = json.load(open("/tmp/round_close_bench.json"))
+suite = json.load(open("bench_suite.json"))
+c5 = next((r for r in suite if r.get("config") == 5), None)
+sc = c5.get("flagship_checkpoint") if c5 else None
+bc = bench.get("checkpoint")
+if bc != sc:
+    print(f"STALENESS GUARD FAILED: bench.py measured {bc!r} but "
+          f"bench_suite.json flagship rows are {sc!r} — regenerate the suite "
+          f"against the current headline artifact", file=sys.stderr)
+    sys.exit(1)
+print(f"staleness guard ok: both artifacts == {bc!r}")
+PYEOF
 fi
 
 if [ -z "$SKIP_DRYRUN" ]; then
