@@ -49,6 +49,25 @@ def probe_input(cfg, batch: int = _PROBE_BATCH) -> np.ndarray:
     ]
 
 
+def speech_probe_input(cfg, batch: int = _PROBE_BATCH) -> np.ndarray:
+    """Speech-like probe (VERDICT r4 #8): deterministic synthetic-v2
+    utterances. A Gaussian-noise probe lands in a thin, atypical slice of a
+    TRAINED codebook's geometry (noise latents cluster far from the speech
+    manifold the books tile), so it under-exercises exactly the dense
+    codebook regions where argmin margins are thinnest. Pins carry BOTH
+    probes: noise (pin v1 compatibility + out-of-distribution coverage) and
+    this one (in-distribution coverage). Determinism contract: the pinned
+    bytes depend on train/data.py::SyntheticSourceV2's generator — changing
+    that generator invalidates existing speech pins (check_pin reports a
+    mismatch, never silently passes), which is the correct failure mode for
+    an archival contract."""
+    from nsc_tpu.train.data import SyntheticSourceV2
+
+    t = int(_PROBE_SECONDS * cfg.sample_rate)
+    src = SyntheticSourceV2(cfg.sample_rate, _PROBE_SEED)
+    return next(src.batches(_PROBE_BATCH, t))[:batch].astype(np.float32)
+
+
 def pin_path(checkpoint_dir: str) -> str:
     return os.path.join(checkpoint_dir, PIN_NAME)
 
@@ -62,11 +81,15 @@ def write_pin(bundle, checkpoint_dir: str) -> str:
 
     wav = probe_input(bundle.cfg)
     idx = api.encode(bundle, wav)
+    idx_speech = api.encode(bundle, speech_probe_input(bundle.cfg))
     path = pin_path(checkpoint_dir)
     np.savez_compressed(
         path,
         version=np.int32(PIN_VERSION),
         indices=idx.astype(np.int32),
+        # speech-like probe plane (r5): optional key — v1 pins without it
+        # stay valid, check_pin simply has nothing to compare there
+        indices_speech=idx_speech.astype(np.int32),
         fingerprint=np.uint32(api.codebook_fingerprint(bundle.rvq)),
         config=np.array(bundle.cfg.name),
         backend=np.array(_backend()),
@@ -94,12 +117,29 @@ def check_pin(
         if int(z["fingerprint"]) != api.codebook_fingerprint(bundle.rvq):
             return None, 0.0, "pin was made from different codebooks"
         pinned = z["indices"]
+        pinned_speech = (
+            z["indices_speech"] if "indices_speech" in z.files else None
+        )
         pin_backend = str(z["backend"]) if "backend" in z else "unknown"
     idx = api.encode(bundle, probe_input(bundle.cfg, batch=pinned.shape[0]))
     if idx.shape != pinned.shape:
         return False, 0.0, f"shape {idx.shape} != pinned {pinned.shape}"
-    rate = float((idx == pinned).mean())
+    matched = int((idx == pinned).sum())
+    total = int(pinned.size)
     status = "vs pinned canonical indices"
+    if pinned_speech is not None:
+        idx_s = api.encode(
+            bundle, speech_probe_input(bundle.cfg, batch=pinned_speech.shape[0])
+        )
+        if idx_s.shape != pinned_speech.shape:
+            return False, 0.0, (
+                f"speech-probe shape {idx_s.shape} != pinned "
+                f"{pinned_speech.shape}"
+            )
+        matched += int((idx_s == pinned_speech).sum())
+        total += int(pinned_speech.size)
+        status += " (noise + speech probes)"
+    rate = matched / total
     if pin_backend != _backend():
         # the pin defines indices on the EXPORT backend; a cross-backend
         # check is a float-lowering diagnostic, not the archival contract —

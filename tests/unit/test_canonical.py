@@ -74,3 +74,36 @@ def test_probe_input_matches_bench_prefix():
         np.float32
     )
     np.testing.assert_array_equal(canonical.probe_input(cfg), bench_wav[:8])
+
+
+def test_pin_carries_speech_probe_and_detects_mismatch(tmp_path):
+    """r5 pins carry a second, speech-like probe plane (synthetic2 — the
+    in-distribution geometry the archival contract protects). A corrupted
+    speech plane must fail the check even when the noise plane matches."""
+    b = _bundle()
+    path = canonical.write_pin(b, str(tmp_path))
+    with np.load(path) as z:
+        data = dict(z)
+    assert "indices_speech" in data
+    exact, rate, status = canonical.check_pin(b, str(tmp_path))
+    assert exact is True and rate == 1.0 and "speech" in status
+    flipped = data["indices_speech"].copy()
+    flipped.flat[0] = (flipped.flat[0] + 1) % 4
+    data["indices_speech"] = flipped
+    np.savez_compressed(path, **data)
+    exact, rate, _ = canonical.check_pin(b, str(tmp_path))
+    assert exact is False and rate < 1.0
+
+
+def test_v1_pin_without_speech_plane_stays_valid(tmp_path):
+    """Pins written before r5 (no indices_speech key) must keep checking
+    exactly as before — the speech plane is additive, not a format break."""
+    b = _bundle()
+    path = canonical.write_pin(b, str(tmp_path))
+    with np.load(path) as z:
+        data = dict(z)
+    del data["indices_speech"]
+    np.savez_compressed(path, **data)
+    exact, rate, status = canonical.check_pin(b, str(tmp_path))
+    assert exact is True and rate == 1.0
+    assert "speech" not in status
