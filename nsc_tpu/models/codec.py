@@ -72,6 +72,18 @@ class NeuralSpeechCodec:
         BASELINE.json:2)."""
         return self.decode(params, rvq, self.encode(params, rvq, wav, n_q), n_q)
 
+    def decode_latents(self, params: Params, z: jax.Array) -> jax.Array:
+        """(N, F, D) codebook-space latents -> (N, F*hop) waveform, skipping
+        quantization. `decode_latents(latents(wav))` is the model's
+        INFINITE-BITRATE autoencoder bound: no RVQ depth can reconstruct
+        better than the un-quantized latent path, so this is the
+        rate-distortion ceiling any depth sweep saturates toward
+        (scripts/rd_ceiling.py; VERDICT r4 next #3)."""
+        z = self._project_out(params, z.astype(jnp.float32))
+        z = z.astype(self.compute_dtype)
+        wav = seanet.apply_decoder(params["decoder"], z, self.cfg)
+        return wav[..., 0].astype(jnp.float32)
+
     # -- training ----------------------------------------------------------
 
     def forward(

@@ -133,3 +133,31 @@ def test_bucketed_decode_identical():
         # fusion choices reorder float ops at the 1-ulp level
         np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6,
                                    err_msg=f"frames={f}")
+
+
+def test_decode_latents_matches_decode_on_dequantized():
+    """decode(indices) must equal decode_latents(dequantize(indices)) exactly
+    — decode_latents is the same path minus quantization, so feeding it the
+    quantized latents reproduces decode bit-for-bit. Also checks the
+    factorized config (project_out inside decode_latents)."""
+    import dataclasses
+
+    from nsc_tpu.ops import rvq as rvq_ops
+
+    tiny = get_config("tiny_test")
+    for cfg in (tiny, dataclasses.replace(tiny, latent_dim=8, codebook_dim=4)):
+        model, params, rvq = init_codec(jax.random.PRNGKey(0), cfg)
+        wav = jax.random.normal(jax.random.PRNGKey(2), (2, 16 * cfg.hop)) * 0.1
+        idx = model.encode(params, rvq, wav)
+        want = np.asarray(model.decode(params, rvq, idx))
+        z = rvq_ops.dequantize(rvq, idx)
+        got = np.asarray(model.decode_latents(params, z))
+        np.testing.assert_array_equal(got, want)
+        # the ceiling path runs end-to-end and beats (or ties) quantized
+        # reconstruction error on the training input by construction is NOT
+        # asserted here (random init makes it noisy) — scripts/rd_ceiling.py
+        # measures it on trained artifacts.
+        ae = np.asarray(
+            model.decode_latents(params, model.latents(params, wav))
+        )
+        assert ae.shape == want.shape and np.isfinite(ae).all()
