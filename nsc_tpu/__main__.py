@@ -18,6 +18,11 @@ from __future__ import annotations
 import argparse
 import sys
 
+# Set by _doctor when a deadline-guarded probe left a thread parked inside
+# the XLA runtime: interpreter teardown is then unsafe (can SIGABRT) and
+# _entry hard-exits instead. In-process callers are unaffected.
+_TEARDOWN_UNSAFE = False
+
 
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="nsc_tpu", description=__doc__)
@@ -223,6 +228,15 @@ def _doctor(args) -> int:
     else:
         for k, v in out.items():
             print(f"{k:26s} {v}")
+    if out.get("device_status") == "wedged":
+        # a timed-out probe leaves a daemon thread PARKED inside the XLA
+        # runtime; normal interpreter teardown then races it and can SIGABRT
+        # (observed exit 134, 2026-08-19 04:28 — docs/RUNBOOK.md). Flag the
+        # CLI entry point to skip teardown (_entry does the os._exit) so
+        # supervisors always see the documented exit code; in-process
+        # callers (tests) still get a plain return value.
+        global _TEARDOWN_UNSAFE
+        _TEARDOWN_UNSAFE = True
     return rc
 
 
@@ -339,7 +353,14 @@ def main(argv=None) -> int:
 
 def _entry() -> int:
     try:
-        return main()
+        rc = main()
+        if _TEARDOWN_UNSAFE:
+            sys.stdout.flush()
+            sys.stderr.flush()
+            import os
+
+            os._exit(rc)
+        return rc
     except FileNotFoundError as e:
         print(f"error: file not found: {e.filename or e}", file=sys.stderr)
     except (ValueError, KeyError) as e:
