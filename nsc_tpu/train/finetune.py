@@ -183,6 +183,9 @@ def run_finetune(
     tcfg: TrainConfig,
     data_spec: str | None = None,
     resume: bool = True,
+    eval_every: int = 1000,
+    eval_seed: int = 2,
+    keep_best: bool = True,
 ) -> Tuple[Dict[str, float], Dict[str, Any]]:
     """Finetune the decoder of the inference artifact at `artifact`.
 
@@ -191,6 +194,24 @@ def run_finetune(
     bench_suite) compare like-for-like only if the distribution matches.
     Returns (last_metrics, meta). The caller exports/evaluates; this
     function only trains and checkpoints (resumable via `workdir`).
+
+    Held-out keep-best (r5): the first 20k-step pool finetune OVERFIT —
+    training mel fell 0.268->0.237 while held-out mel ROSE 0.2682->0.2793
+    at every depth (docs/finetune_report.json, 2048-segment pool = ~625
+    epochs), so the export gate refused it. Every `eval_every` steps the
+    decoder is scored on a FRESH-DRAW validation batch (`eval_seed`, drawn
+    from the pool-stripped spec so it cannot live in the training pool;
+    seed 2 by default — disjoint from the seed-1 gate batch the caller
+    uses, so selection and gating stay separate draws). The selection
+    metric is the same log-mel RMS as eval/quality.mel_distance
+    (1024/256/80), computed in-jit; the encoder + books are frozen, so the
+    eval's quantized latents are constant and precomputed once. If the
+    best-seen decoder beats the final one, it is exported to
+    `workdir/infer_best/<best_step>` — which train/checkpoint.py::
+    restore_inference prefers over `infer/` — with one bundled d2h pull
+    (best params are held as device copies; the relay's ~1-2 MB/s bulk
+    d2h makes per-improvement saves unaffordable). On resume, best
+    tracking restarts from the resumed step's eval.
     """
     import json
     import os
@@ -239,6 +260,43 @@ def run_finetune(
     batches = data_lib.Prefetcher(source.batches(tcfg.batch_size, seg))
     logger = MetricsLogger(workdir)
 
+    # ---- held-out validation for keep-best selection -----------------------
+    # Pool-stripped spec: a ":pool=N" train spec serves crops of a FIXED
+    # pool; stripping it draws fresh segments the pool never contained.
+    heldout_spec = (data_spec or meta["data"]).partition(":pool=")[0]
+    seg_e = int(2.0 * cfg.sample_rate) // cfg.hop * cfg.hop
+    eval_wavs = jnp.asarray(
+        next(
+            data_lib.make_source(heldout_spec, cfg.sample_rate, eval_seed)
+            .batches(8, seg_e)
+        ),
+        jnp.float32,
+    )
+    # Frozen half of the eval, computed once: full-depth quantized latents.
+    z_e = jax.jit(model.latents)(state["params_g"], eval_wavs)
+    fwd_e = rvq_ops.forward(state["rvq"], z_e)
+    zq_e = model._project_out(state["params_g"], fwd_e.quantized)
+    zq_e = jnp.asarray(zq_e, model.compute_dtype)
+
+    from nsc_tpu.ops import stft as stft_ops
+
+    mel_ref_e = stft_ops.mel_spectrogram(
+        eval_wavs, cfg.sample_rate, 1024, 256, 80
+    )
+
+    @jax.jit
+    def heldout_mel(dec_params) -> jax.Array:
+        """Same metric as eval/quality.mel_distance: RMS log-mel error."""
+        recon = seanet.apply_decoder(dec_params, zq_e, cfg)[..., 0]
+        recon = recon.astype(jnp.float32)[:, : eval_wavs.shape[-1]]
+        mel_d = stft_ops.mel_spectrogram(recon, cfg.sample_rate, 1024, 256, 80)
+        return jnp.sqrt(jnp.mean((mel_d - mel_ref_e) ** 2))
+
+    best_mel = float("inf")
+    best_step = -1
+    best_dec = None  # device-side copy (step_fn donates state buffers)
+    last_hm = float("nan")
+
     # Same async-writer checkpointing scheme as train/loop.py, simplified:
     # the finetune state is ~4x smaller than a GAN state (no discriminators,
     # one optimizer), every save is full (resume granularity == cadence).
@@ -279,6 +337,21 @@ def run_finetune(
                     f"finetune step {step+1}: g={m['loss/g_total']:.4f} "
                     f"mel={m['loss/mel']:.4f} ({rate:.2f} it/s)", flush=True,
                 )
+            if (step + 1) % eval_every == 0 or step + 1 == steps:
+                hm = float(heldout_mel(state["params_g"]["decoder"]))
+                last_hm = hm
+                logger.log(step + 1, {"heldout/mel": hm})
+                marker = ""
+                if hm < best_mel:
+                    best_mel, best_step = hm, step + 1
+                    best_dec = jax.tree.map(
+                        jnp.copy, state["params_g"]["decoder"]
+                    )
+                    marker = " (best)"
+                print(
+                    f"finetune heldout step {step+1}: mel={hm:.4f}{marker}",
+                    flush=True,
+                )
             if (step + 1) % tcfg.checkpoint_every == 0 or step + 1 == steps:
                 if hb is not None:
                     hb.beat(step + 1)
@@ -313,4 +386,29 @@ def run_finetune(
     assert np.array_equal(frozen_books, books_after), (
         "finetune moved the frozen codebooks — invariant violated"
     )
-    return {k: float(v) for k, v in metrics.items()}, meta
+
+    out = {k: float(v) for k, v in metrics.items()}
+    if best_step > 0:
+        out["heldout/mel_best"] = best_mel
+        out["heldout/best_step"] = float(best_step)
+        out["heldout/mel_final"] = last_hm
+    if keep_best and best_dec is not None and best_mel < last_hm:
+        # The final decoder is not the best one seen — export the best to
+        # infer_best/ (restore_inference prefers it). One bundled pull.
+        best_params = dict(state["params_g"])
+        best_params["decoder"] = best_dec
+        snap = bundled_snapshot({"params_g": best_params, "rvq": state["rvq"]})
+        host = snap.materialize()
+        ckpt.save(
+            os.path.join(workdir, "infer_best"), best_step,
+            {
+                "params_g": jax.tree.map(np.asarray, host["params_g"]),
+                "rvq": jax.tree.map(np.asarray, host["rvq"]),
+            },
+            max_to_keep=1,
+        )
+        print(
+            f"finetune keep-best: step {best_step} heldout mel "
+            f"{best_mel:.4f} < final {last_hm:.4f} -> infer_best/", flush=True,
+        )
+    return out, meta

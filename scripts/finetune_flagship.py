@@ -45,6 +45,11 @@ def main(argv=None) -> int:
                    help="held-out eval batch seed (train used 0; matches "
                    "refit_flagship.py)")
     p.add_argument("--depths", default="1,2,4,8,12,16")
+    p.add_argument("--eval-every", type=int, default=1000,
+                   help="held-out keep-best eval cadence (train/finetune.py)")
+    p.add_argument("--no-keep-best", action="store_true",
+                   help="export the final step even if a mid-run decoder "
+                   "scored better held-out")
     p.add_argument("--export", default=None, help="artifacts/<name> to write")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument(
@@ -77,6 +82,7 @@ def main(argv=None) -> int:
     last_metrics, meta = finetune.run_finetune(
         art, workdir=workdir, steps=args.steps, tcfg=tcfg,
         data_spec=args.data, resume=not args.no_resume,
+        eval_every=args.eval_every, keep_best=not args.no_keep_best,
     )
     print(f"finetune done: {last_metrics}")
     cfg_name, data_spec, step = meta["config"], meta["data"], int(meta["step"])
@@ -84,8 +90,12 @@ def main(argv=None) -> int:
     # -- held-out end-to-end A/B (same protocol as refit_flagship.py) -------
     bundle_a = api.load_model(cfg_name, checkpoint=art, serving=True)
     cfg = bundle_a.cfg
+    # restore_inference prefers workdir/infer_best (the keep-best export,
+    # written when the final decoder is NOT the best held-out one) over
+    # workdir/infer (the last step).
+    used_best = ckpt.latest_step(os.path.join(workdir, "infer_best"))
     params_ft, rvq_ft = ckpt.restore_inference(
-        os.path.join(workdir, "infer"), bundle_a.params, bundle_a.rvq
+        workdir, bundle_a.params, bundle_a.rvq
     )
     bundle_b = dataclasses.replace(bundle_a, params=params_ft, rvq=rvq_ft)
 
@@ -103,6 +113,8 @@ def main(argv=None) -> int:
         "steps": args.steps,
         "lr": args.lr,
         "last_metrics": last_metrics,
+        "selected": (f"infer_best@{used_best}" if used_best is not None
+                     else f"infer@{args.steps}"),
         "sweep_before": rows_a,
         "sweep_after": rows_b,
     }
@@ -143,6 +155,7 @@ def main(argv=None) -> int:
             "finetune": {"from": os.path.relpath(art, REPO),
                          "steps": args.steps, "lr": args.lr,
                          "batch_size": args.batch_size,
+                         "selected": report["selected"],
                          "workdir": os.path.relpath(workdir, REPO)},
         }, f)
     bundle_new = api.load_model(cfg_name, checkpoint=dst, serving=True)

@@ -124,3 +124,72 @@ def test_flagship_key_lineage_orders_derived_artifacts(tmp_path):
     now = time.time()
     os.utime(refit, (now + 100, now + 100))
     assert max([str(refit), str(ft)], key=flagship_key) == str(ft)
+
+
+def test_finetune_keep_best_exports_best_heldout_decoder(tmp_path, monkeypatch):
+    """Keep-best contract (r5; the 20k pool finetune OVERFIT and the last
+    step was the worst one — docs/finetune_report.json): run_finetune scores
+    the decoder on a fresh-draw held-out batch every `eval_every` steps and,
+    when the best score is not the final step's, exports the best decoder to
+    workdir/infer_best — which restore_inference prefers over infer/.
+
+    The real step is monkeypatched with one that ADDS 0.02 to every decoder
+    weight per step: held-out mel then degrades with the growing
+    perturbation (small enough not to rail the tanh output, which would
+    saturate the metric and tie the evals), so the step-2 eval wins over
+    step 4 and the swap branch runs deterministically (fixed seeds)."""
+    import json
+
+    from nsc_tpu.configs import get_config
+    from nsc_tpu.models.codec import init_codec
+    from nsc_tpu.train import checkpoint as ckpt
+
+    cfg = get_config("tiny_test")
+    _, params, rvq = init_codec(jax.random.PRNGKey(11), cfg)
+    art = tmp_path / "art"
+    ckpt.save_inference(str(art), 3, params, rvq)
+    (art / "meta.json").write_text(
+        json.dumps({"config": "tiny_test", "data": "synthetic", "step": 3})
+    )
+
+    def degrade_factory(model, tcfg):
+        def step(state, batch):
+            new_params = dict(state["params_g"])
+            new_params["decoder"] = jax.tree.map(
+                lambda x: x + 0.02, state["params_g"]["decoder"]
+            )
+            metrics = {
+                "loss/g_total": jnp.float32(0.0), "loss/mel": jnp.float32(0.0)
+            }
+            return {
+                "step": state["step"] + 1, "params_g": new_params,
+                "opt": state["opt"], "rvq": state["rvq"],
+                "rng": state["rng"],
+            }, metrics
+
+        return step
+
+    monkeypatch.setattr(finetune, "make_finetune_step", degrade_factory)
+
+    wd = tmp_path / "wd"
+    tcfg = finetune.finetune_config(4, batch_size=2)
+    out, _ = finetune.run_finetune(
+        str(art), workdir=str(wd), steps=4, tcfg=tcfg, eval_every=2,
+        resume=False,
+    )
+
+    assert out["heldout/best_step"] == 2.0
+    assert out["heldout/mel_best"] < out["heldout/mel_final"]
+    assert ckpt.latest_step(str(wd / "infer_best")) == 2
+    # restore_inference must pick infer_best; its decoder is init + 2.0
+    params_b, rvq_b = ckpt.restore_inference(str(wd), params, rvq)
+    expect = jax.tree.map(
+        lambda x: np.asarray(x + 0.02 + 0.02), params["decoder"]
+    )
+    got = jax.tree.map(np.asarray, params_b["decoder"])
+    for e, g in zip(jax.tree.leaves(expect), jax.tree.leaves(got)):
+        assert np.allclose(e, g)
+    # frozen halves ride along bit-identically
+    assert np.array_equal(
+        np.asarray(rvq["codebooks"]), np.asarray(rvq_b["codebooks"])
+    )
