@@ -250,7 +250,7 @@ def config5_sweep():
         # score the flagship on ITS OWN training distribution (meta.json
         # written by scripts/export_flagship.py; pre-meta artifacts trained
         # on the v1 synthetic source)
-        cfg_name, data_spec = "base_fast", "synthetic"
+        cfg_name, data_spec, meta = "base_fast", "synthetic", {}
         try:
             with open(os.path.join(newest, "meta.json")) as f:
                 meta = json.load(f)
@@ -262,11 +262,18 @@ def config5_sweep():
 
         # >=16k held-out frames (VERDICT r4 #3): 1024-entry usage/perplexity
         # on a 1k-frame pool is frame-capped (usage can't exceed
-        # frames/1024); 32 x 10 s at hop 320 = 16k frames makes the
-        # utilization columns meaningful at K=1024.
+        # frames/1024). Segment length follows the artifact's TRAINING
+        # segment (meta.json "segment_len") when recorded: v2-style
+        # generators are duration-relative (whole-segment pitch glides), so
+        # 10 s draws are distribution-shifted for a model trained on 1.1 s
+        # segments (docs/PERFORMANCE.md r5). Pre-r5 artifacts (no
+        # segment_len) keep the historical 10 s protocol.
         bundle16 = nsc_tpu.load_model(cfg_name, checkpoint=newest)
-        n_seg = max(2, (16_384 * bundle16.cfg.hop) // 160_000 + 1)
-        fwavs = next(make_source(data_spec, 16000, 7).batches(n_seg, 160000))
+        seg16 = int(meta.get("segment_len") or 160_000)
+        seg16 = seg16 // bundle16.cfg.hop * bundle16.cfg.hop
+        n_seg = max(2, (16_384 * bundle16.cfg.hop) // seg16 + 1)
+        fwavs = next(make_source(data_spec, 16000, 7).batches(n_seg, seg16))
+        out["flagship_segment_len"] = seg16
         out["flagship_checkpoint"] = os.path.relpath(newest, here)
         out["flagship_data"] = data_spec
         out["flagship_eval_frames"] = int(

@@ -36,6 +36,11 @@ def main(argv=None) -> int:
                    help="training data spec (recorded in meta.json; eval "
                    "harnesses score each checkpoint on its own training "
                    "distribution)")
+    p.add_argument("--segment-len", type=int, default=None,
+                   help="training segment length in SAMPLES (recorded in "
+                   "meta.json; eval harnesses use it as the flagship sweep "
+                   "segment so v2-style duration-relative generators are "
+                   "scored in-distribution — docs/PERFORMANCE.md r5)")
     p.add_argument("--dest", default=None,
                    help="destination root (default: <repo>/artifacts/<name>)")
     args = p.parse_args(argv)
@@ -61,7 +66,9 @@ def main(argv=None) -> int:
     # pass 1: the requested/best step, wherever it lives (infer_best is only
     # preferred as a tiebreak — the same step exported twice is identical)
     if step is not None:
-        for sub in ("infer_best", "infer"):
+        # harvest/ holds steps the rolling infer/ window already evicted
+        # (scripts/harvest_checkpoints.sh) — held-out selection may pick one
+        for sub in ("infer_best", "infer", "harvest"):
             cand = os.path.join(run_dir, sub)
             if os.path.isdir(os.path.join(cand, str(step))):
                 src_root, use_step = cand, step
@@ -69,8 +76,8 @@ def main(argv=None) -> int:
     if src_root is None and explicit:
         # an EXPLICIT --step that doesn't exist must fail loudly, not ship
         # some other checkpoint as the named artifact
-        print(f"--step {step} not found under {run_dir}/infer_best or "
-              f"{run_dir}/infer", file=sys.stderr)
+        print(f"--step {step} not found under {run_dir}/infer_best, "
+              f"{run_dir}/infer, or {run_dir}/harvest", file=sys.stderr)
         return 1
     # pass 2: no (usable) requested step — fall back to the latest export
     if src_root is None:
@@ -95,11 +102,12 @@ def main(argv=None) -> int:
         shutil.copytree(os.path.join(src_root, str(use_step)), dst_step)
         print(f"copied {src_root}/{use_step} -> {dst_step}")
 
+    meta = {"config": args.config, "data": args.data, "step": use_step,
+            "run_dir": os.path.relpath(run_dir, REPO)}
+    if args.segment_len is not None:
+        meta["segment_len"] = int(args.segment_len)
     with open(os.path.join(dst, "meta.json"), "w") as f:
-        json.dump(
-            {"config": args.config, "data": args.data, "step": use_step,
-             "run_dir": os.path.relpath(run_dir, REPO)}, f,
-        )
+        json.dump(meta, f)
     bundle = api.load_model(args.config, checkpoint=dst, serving=True)
     pin = canonical.write_pin(bundle, dst)
     ok, rate, status = canonical.check_pin(bundle, dst)

@@ -71,3 +71,31 @@ def test_export_flagship_explicit_missing_step_fails_loudly(tmp_path):
     ])
     assert rc == 0
     assert (dest / "9").is_dir()
+
+
+def test_export_flagship_harvest_step_and_segment_len_meta(tmp_path):
+    """r5: a --step that was evicted from infer/ but rescued into harvest/
+    (scripts/harvest_checkpoints.sh, bare step-dir layout) must export, and
+    --segment-len must land in meta.json so eval harnesses can score
+    duration-relative generators in-distribution."""
+    import shutil
+
+    import export_flagship
+
+    cfg = get_config("tiny_test")
+    model, params, rvq = init_codec(jax.random.PRNGKey(3), cfg)
+    run_dir = tmp_path / "run"
+    ckpt.save_inference(str(run_dir / "infer"), 12, params, rvq)
+    # harvest layout: bare step dir (no manager wrapper)
+    (run_dir / "harvest").mkdir()
+    shutil.copytree(run_dir / "infer" / "12", run_dir / "harvest" / "7")
+
+    dest = tmp_path / "artifact"
+    rc = export_flagship.main([
+        str(run_dir), "--name", "ignored", "--config", "tiny_test",
+        "--step", "7", "--segment-len", "17600", "--dest", str(dest),
+    ])
+    assert rc == 0
+    assert (dest / "7").is_dir()
+    meta = json.load(open(dest / "meta.json"))
+    assert meta["step"] == 7 and meta["segment_len"] == 17600
