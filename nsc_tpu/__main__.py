@@ -92,6 +92,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="degraded wav; omitted = round-trip `reference` through the model",
     )
     e.add_argument("--n-q", type=int, default=None)
+    e.add_argument(
+        "--ceiling", action="store_true",
+        help="round-trip mode only: also decode the UN-quantized latents "
+        "(the model's infinite-bitrate autoencoder bound) and report the "
+        "quantization gap — how much of the distortion the quantizer is "
+        "responsible for at this depth (docs/PERFORMANCE.md round 5)",
+    )
     e.add_argument("--json", action="store_true", help="machine-readable output")
     add_model_args(e)
 
@@ -335,6 +342,29 @@ def main(argv=None) -> int:
         out = nsc_tpu.decompress(bundle, blob)[: len(wav)]
         dur = len(wav) / bundle.cfg.sample_rate
         extra = {"bitrate_kbps": round(len(blob) * 8 / dur / 1000, 3)} if dur else {}
+        if getattr(args, "ceiling", False):
+            # infinite-bitrate bound: decode the un-quantized latents
+            # (models/codec.py::decode_latents) — positions this depth's
+            # mel on the measured [ceiling .. distortion] axis
+            import numpy as np
+
+            from nsc_tpu.eval import quality
+
+            pad = (-len(wav)) % bundle.cfg.hop
+            w = np.pad(wav, (0, pad))[None, :]
+            z = bundle.model.latents(bundle.params, w)
+            rec = np.asarray(
+                bundle.model.decode_latents(bundle.params, z)
+            )[0, : len(wav)]
+            ceil_mel = round(
+                quality.mel_distance(wav, rec, bundle.cfg.sample_rate), 4
+            )
+            extra["ceiling_mel_distance"] = ceil_mel
+            extra["ceiling_si_snr_db"] = round(quality.si_snr(wav, rec), 3)
+            extra["quant_gap_mel"] = round(
+                quality.mel_distance(wav, out, bundle.cfg.sample_rate)
+                - ceil_mel, 4
+            )
         return _print_quality(
             wav, out, bundle.cfg.sample_rate, args.json, extra=extra
         )

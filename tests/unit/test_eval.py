@@ -242,3 +242,28 @@ def test_main_cli_eval_roundtrip(tmp_path, capsys):
     m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m["bitrate_kbps"] > 0
     assert "pesq_proxy" in m and np.isfinite(m["pesq_proxy"])
+
+
+def test_main_cli_eval_ceiling(tmp_path, capsys):
+    """`eval <wav> --ceiling` adds the infinite-bitrate autoencoder bound
+    and the quantization gap (r5): gap == roundtrip mel − ceiling mel, and
+    the ceiling must not exceed the quantized round-trip's mel (no depth
+    can beat the un-quantized latent path)."""
+    import json
+
+    from nsc_tpu import __main__ as cli
+    from nsc_tpu.utils import audio
+
+    rng = np.random.RandomState(2)
+    wav = (rng.randn(16000) * 0.2).astype(np.float32)
+    rp = str(tmp_path / "in.wav")
+    audio.save_wav(rp, wav, 16000)
+    assert cli.main(
+        ["eval", rp, "--model", "tiny_test", "--ceiling", "--json"]
+    ) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for k in ("ceiling_mel_distance", "ceiling_si_snr_db", "quant_gap_mel"):
+        assert k in m and np.isfinite(m[k])
+    assert abs(
+        m["quant_gap_mel"] - (m["mel_distance"] - m["ceiling_mel_distance"])
+    ) < 2e-4  # both sides rounded to 4 decimals
