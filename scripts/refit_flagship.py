@@ -11,6 +11,12 @@ k-means (nsc_tpu/train/refit.py), then measures before/after:
   * end-to-end: bitrate_sweep (mel distance, SI-SNR, NSIM, entropy bitrate)
     on a held-out batch at several depths.
 
+Pool and eval segments honor meta.json's `segment_len` (falling back to
+10 s): duration-relative generators (synthetic2) are OOD at 10 s for models
+trained on ~1 s segments (docs/PERFORMANCE.md r5 "duration-relative"), so
+both the k-means pool and the export gate must score the artifact at its
+own training length — same rule as bench_suite config 5 and heldout_trend.
+
 With --export NAME the refit state is written as artifacts/NAME/<step>
 (same bare layout as export_flagship.py, meta.json records the refit), and
 the serving path's canonical indices are re-pinned beside it. Export is
@@ -68,7 +74,10 @@ def main(argv=None) -> int:
     cfg = bundle.cfg
 
     # -- latent pool from the artifact's own training distribution ----------
-    seg = int(10.0 * cfg.sample_rate) // cfg.hop * cfg.hop
+    # training-length segments when the artifact records them (v2 models are
+    # duration-relative; 10 s draws would refit the books on OOD latents)
+    seg = int(meta.get("segment_len") or 10.0 * cfg.sample_rate)
+    seg = max(cfg.hop, seg // cfg.hop * cfg.hop)
     batch = 16
     frames_per_batch = batch * (seg // cfg.hop)
     n_batches = max(1, -(-args.frames // frames_per_batch))
@@ -90,10 +99,14 @@ def main(argv=None) -> int:
           f"{after_pool['residual_mse_per_depth'][-1]:.6f}")
 
     # -- held-out end-to-end A/B --------------------------------------------
+    # keep >= ~17 s of eval audio regardless of segment length (4x10 s
+    # historically; 16x1.1 s for v2-trained artifacts — heldout_trend's
+    # short protocol)
     depths = [int(d) for d in args.depths.split(",")]
+    eval_batch = max(4, -(-int(17.6 * cfg.sample_rate) // seg))
     wavs = next(
         make_source(data_spec, cfg.sample_rate, seed=args.eval_seed)
-        .batches(4, seg)
+        .batches(eval_batch, seg)
     )
     rows_a = bitrate_sweep(bundle, wavs, depths)
     bundle2 = dataclasses.replace(bundle, rvq=rvq2)
@@ -131,14 +144,22 @@ def main(argv=None) -> int:
     dst = os.path.join(REPO, "artifacts", args.export)
     ckpt.save_inference(dst, step, bundle.params, jax.tree.map(np.asarray, rvq2))
     with open(os.path.join(dst, "meta.json"), "w") as f:
-        json.dump({
+        out_meta = {
             "config": cfg_name, "data": data_spec, "step": step,
             "run_dir": meta.get("run_dir"),
+            # lineage: bench.py's flagship_key orders refit-of-refit chains
+            "lineage": int(meta.get("lineage",
+                                    1 if meta.get("refit") else 0)) + 1,
             "refit": {"from": os.path.relpath(art, REPO),
                       "frames": int(pool.shape[0]),
                       "kmeans_iters": args.iters,
                       "pool_seed": args.pool_seed},
-        }, f)
+        }
+        # propagate the eval-protocol contract (bench_suite config 5 and
+        # heldout_trend score each artifact at its own training length)
+        if meta.get("segment_len"):
+            out_meta["segment_len"] = int(meta["segment_len"])
+        json.dump(out_meta, f)
     bundle_new = api.load_model(cfg_name, checkpoint=dst, serving=True)
     pin = canonical.write_pin(bundle_new, dst)
     ok, rate, status = canonical.check_pin(bundle_new, dst)
