@@ -239,23 +239,42 @@ def compress(
     arr = np.asarray(wav, dtype=np.float32)
     if arr.ndim != 1:
         raise ValueError("compress takes a single (T,) waveform")
-    cfg = bundle.cfg
     idx = encode(bundle, arr, n_q=n_q)
-    flags = bitstream.FLAG_FINGERPRINT
-    if entropy_coding:
-        flags |= bitstream.FLAG_ENTROPY
-    header = bitstream.BitstreamHeader(
-        model_name=cfg.name,
-        bits=cfg.bits_per_codebook,
-        n_q=idx.shape[-1],
-        sample_rate=cfg.sample_rate,
-        hop=cfg.hop,
-        num_frames=idx.shape[0],
-        orig_len=arr.shape[0],
-        flags=flags,
-        fingerprint=codebook_fingerprint(bundle.rvq),
-    )
-    return bitstream.serialize(header, idx)
+    return _finalize_stream(bundle, idx, arr.shape[0], entropy_coding)
+
+
+def _finalize_stream(
+    bundle: ModelBundle, idx: np.ndarray, orig_len: int, entropy_coding: bool
+) -> bytes:
+    """Header + planes for `idx`, with an entropy->raw size fallback.
+
+    Post-refit codebooks are near-uniform (mean usage ~100%, perplexity
+    ~960/1024 — docs/refit_report.json), so the adaptive coder's per-plane
+    overhead can EXPAND the stream past fixed-width packing. The flag lives
+    in the header, so emitting whichever serialization is smaller is
+    transparent to decompress (it auto-detects; tested in
+    tests/unit/test_bitstream.py::test_entropy_raw_fallback)."""
+    cfg = bundle.cfg
+
+    def _stream(flags: int) -> bytes:
+        header = bitstream.BitstreamHeader(
+            model_name=cfg.name,
+            bits=cfg.bits_per_codebook,
+            n_q=idx.shape[-1],
+            sample_rate=cfg.sample_rate,
+            hop=cfg.hop,
+            num_frames=idx.shape[0],
+            orig_len=orig_len,
+            flags=flags,
+            fingerprint=codebook_fingerprint(bundle.rvq),
+        )
+        return bitstream.serialize(header, idx)
+
+    raw = _stream(bitstream.FLAG_FINGERPRINT)
+    if not entropy_coding:
+        return raw
+    coded = _stream(bitstream.FLAG_FINGERPRINT | bitstream.FLAG_ENTROPY)
+    return coded if len(coded) < len(raw) else raw
 
 
 def _check_stream_identity(bundle: ModelBundle, header) -> None:
@@ -336,21 +355,7 @@ def streaming_compress(
     for g in range(0, len(chunks), group):
         blocks.extend(enc.push_many(chunks[g : g + group]))
     idx = np.concatenate(blocks, axis=0)
-    flags = bitstream.FLAG_FINGERPRINT
-    if entropy_coding:
-        flags |= bitstream.FLAG_ENTROPY
-    header = bitstream.BitstreamHeader(
-        model_name=cfg.name,
-        bits=cfg.bits_per_codebook,
-        n_q=idx.shape[-1],
-        sample_rate=cfg.sample_rate,
-        hop=cfg.hop,
-        num_frames=idx.shape[0],
-        orig_len=arr.shape[0],
-        flags=flags,
-        fingerprint=codebook_fingerprint(bundle.rvq),
-    )
-    return bitstream.serialize(header, idx)
+    return _finalize_stream(bundle, idx, arr.shape[0], entropy_coding)
 
 
 def streaming_decompress(

@@ -93,3 +93,33 @@ def test_adaptive_model_total_stays_bounded(monkeypatch):
     for i in range(2000):
         m.update(i % 64)
     assert m.total <= 4096 + 32 * E.REBUILD + 64
+
+
+def test_entropy_raw_fallback():
+    """compress(entropy_coding=True) must never EXPAND the stream: on
+    near-uniform index planes the adaptive coder's output exceeds
+    fixed-width packing, and api._finalize_stream falls back to the raw
+    serialization (flag cleared in the header, so decompress auto-detects —
+    the post-refit-codebook case, docs/refit_report.json)."""
+    import nsc_tpu
+    from nsc_tpu import api as A, bitstream as B
+
+    bundle = nsc_tpu.load_model("tiny_test")
+    rng = np.random.RandomState(3)
+    F, n_q = 40, bundle.cfg.num_quantizers
+    # worst case for the coder: exactly-uniform random planes
+    idx = rng.randint(0, 1 << bundle.cfg.bits_per_codebook, size=(F, n_q))
+    idx = idx.astype(np.int32)
+    blob = A._finalize_stream(bundle, idx, F * bundle.cfg.hop, True)
+    raw = A._finalize_stream(bundle, idx, F * bundle.cfg.hop, False)
+    assert len(blob) <= len(raw)
+    h, back = B.deserialize(blob)
+    np.testing.assert_array_equal(back, idx)
+    # and when coding DOES help (long constant planes — enough frames to
+    # amortize the coder's per-plane framing), the flag must survive
+    F0 = 2000
+    idx0 = np.zeros((F0, n_q), dtype=np.int32)
+    blob0 = A._finalize_stream(bundle, idx0, F0 * bundle.cfg.hop, True)
+    h0, _ = B.deserialize(blob0)
+    assert h0.flags & B.FLAG_ENTROPY
+    assert len(blob0) < len(A._finalize_stream(bundle, idx0, F0 * bundle.cfg.hop, False))
