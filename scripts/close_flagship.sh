@@ -54,18 +54,32 @@ for s in $(ls "$RUN/infer" 2>/dev/null); do
 done
 
 echo "== close 3/7: held-out trend over all harvested checkpoints =="
+# --cpu: every existing trend row was CPU-scored (the in-run sidecar runs on
+# CPU while training holds the chip); keep the winner comparison
+# single-numerics. ~75 s/checkpoint on this host.
 timeout 5400 python scripts/heldout_trend.py "$RUN" --config "$CONFIG" \
-  --data "$DATA" --segment-len "$SEG" || exit 1
+  --data "$DATA" --segment-len "$SEG" --cpu || exit 1
 
 echo "== close 4/7: pick the held-out winner =="
 BEST=$(python - "$RUN" <<'PYEOF'
 import json, sys
 rows = [json.loads(l) for l in open(f"{sys.argv[1]}/heldout_trend.jsonl") if l.strip()]
-best = min(rows, key=lambda r: r["mel_short"])
+rows.sort(key=lambda r: r["step"])
+by_step = {r["step"]: r["mel_short"] for r in rows}
+
+# adjacent rows differ by ~±0.02 on this eval batch (run-2 trend), so a raw
+# min() picks a lucky draw; smooth each candidate with its harvested
+# neighbors and let the smoothed curve choose
+def smoothed(i):
+    vals = [rows[j]["mel_short"] for j in (i - 1, i, i + 1) if 0 <= j < len(rows)]
+    return sum(vals) / len(vals)
+
+i = min(range(len(rows)), key=smoothed)
+best = rows[i]
 print(best["step"])
 print(f"held-out winner: step {best['step']} mel_short {best['mel_short']:.4f} "
-      f"si_snr {best['si_snr_short']:.2f} dB (of {len(rows)} candidates)",
-      file=sys.stderr)
+      f"(smoothed {smoothed(i):.4f}) si_snr {best['si_snr_short']:.2f} dB "
+      f"of {len(rows)} candidates", file=sys.stderr)
 PYEOF
 ) || exit 1
 NAME="${PREFIX}_$((BEST / 1000))k"
