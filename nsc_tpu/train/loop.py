@@ -76,7 +76,14 @@ def run(
     # instead of hanging silently until its stale-kill (utils/liveness.py).
     # Must precede enable_compilation_cache — jax.default_backend() there is
     # itself the first (hangable) backend touch.
-    from nsc_tpu.utils.liveness import Heartbeat, device_liveness_check
+    from nsc_tpu.utils.liveness import (
+        EXIT_RSS_LIMIT,
+        Heartbeat,
+        _MARKER_RSS,
+        device_liveness_check,
+        host_rss_gb,
+        rss_exit_limit_gb,
+    )
 
     device_liveness_check()
     enable_compilation_cache()  # restarts skip the multi-minute step compile
@@ -263,11 +270,28 @@ def run(
                     writer.join()
                 if writer_err:
                     raise writer_err[0]
+                # Host-RSS self-restart guard (utils/liveness.py
+                # rss_exit_limit_gb has the incident write-up): when the
+                # leaked-transfer-buffer RSS nears the host ceiling, take a
+                # FULL synchronous save and exit EXIT_RSS_LIMIT — the
+                # supervisor relaunches and auto-resume loses nothing, vs.
+                # the OOM killer's SIGKILL which races the async writer and
+                # strands the device claim. Boundary-only check: the leak is
+                # ~4.6 MB/step, so one checkpoint interval of drift is GBs
+                # below the 20%-of-RAM headroom the default limit leaves.
+                rss_limit = rss_exit_limit_gb()
+                rss_gb = host_rss_gb() if rss_limit is not None else 0.0
+                rss_exit = (
+                    rss_limit is not None
+                    and rss_gb > rss_limit
+                    and step + 1 < steps
+                )
                 # full train state only every full_state_every steps (or at the
                 # end); inference-only (~10x smaller pull) otherwise — see
                 # TrainConfig.full_state_every
                 full = (
-                    not tcfg.full_state_every
+                    rss_exit
+                    or not tcfg.full_state_every
                     or not have_full
                     or (step + 1 - last_full) >= tcfg.full_state_every
                     or step + 1 == steps
@@ -279,22 +303,33 @@ def run(
                     state if full
                     else {"params_g": state["params_g"], "rvq": state["rvq"]}
                 )
-                if async_ckpt and step + 1 < steps:
+                if async_ckpt and step + 1 < steps and not rss_exit:
                     writer = threading.Thread(
                         target=_write, args=(snap, step + 1, improved, best, full)
                     )
                     writer.start()
                 else:
                     # on TPU this branch is the FINAL step's synchronous
-                    # save: a full-state pull can legitimately run 4-7 min
-                    # on the relay, longer than the stall deadline — retire
-                    # the in-process detector and leave a wedged final save
-                    # to the supervisor
+                    # save (or the RSS-limit exit save): a full-state pull
+                    # can legitimately run 4-7 min on the relay, longer than
+                    # the stall deadline — retire the in-process detector
+                    # and leave a wedged final save to the supervisor
                     if hb is not None:
                         hb.stop()
                     _write(snap, step + 1, improved, best, full)
                     if writer_err:
                         raise writer_err[0]
+                if rss_exit:
+                    print(
+                        f"{_MARKER_RSS}: rss {rss_gb:.1f} GB > limit "
+                        f"{rss_limit:.1f} GB — full state saved at step "
+                        f"{step + 1}; exiting {EXIT_RSS_LIMIT} for a clean "
+                        "supervisor relaunch (auto-resume)",
+                        flush=True,
+                    )
+                    batches.close()
+                    logger.close()
+                    raise SystemExit(EXIT_RSS_LIMIT)
     finally:
         # retire the monitor on EVERY exit path: a daemon thread left armed
         # would os._exit(98) out of a host process that caught the real

@@ -41,9 +41,11 @@ from typing import Callable, Optional
 
 EXIT_DEVICE_WEDGED = 97
 EXIT_STALLED = 98
+EXIT_RSS_LIMIT = 99
 
 _MARKER_WEDGED = "NSC-LIVENESS: DEVICE WEDGED"
 _MARKER_STALLED = "NSC-LIVENESS: RUN STALLED"
+_MARKER_RSS = "NSC-LIVENESS: HOST RSS LIMIT"
 
 
 def _default_probe() -> float:
@@ -55,6 +57,48 @@ def _default_probe() -> float:
 
     x = jnp.full((8, 128), 2.0, jnp.float32)
     return float(jnp.sum(x * x))
+
+
+def host_rss_gb() -> float:
+    """This process's resident set size in GiB (``/proc/self/statm``, zero
+    deps). 0.0 where /proc is unavailable (non-Linux) — callers treat that
+    as "unknown, don't act"."""
+    try:
+        with open("/proc/self/statm") as f:
+            resident_pages = int(f.read().split()[1])
+        return resident_pages * os.sysconf("SC_PAGE_SIZE") / 2**30
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+def rss_exit_limit_gb() -> Optional[float]:
+    """Host-RSS ceiling above which a long run should checkpoint and exit
+    (2026-08-19 incident: the relay client retains a host copy of every
+    h2d transfer buffer — one 4.5 MB batch per step — so the flagship train
+    process grew to 130 GB in 2.7 h and the OOM killer SIGKILLed it mid-run,
+    leaving a wedged pool grant behind. A *clean* exit at a checkpoint
+    boundary costs one relaunch; a SIGKILL risks the async writer and wedges
+    the device claim).
+
+    ``NSC_RSS_EXIT_GB`` overrides (0 disables). Default: 80% of MemTotal on
+    hosts with >=32 GB, else disabled — on small CI boxes the Python+JAX
+    baseline alone could graze a relative limit and self-kill healthy tests.
+    """
+    env = os.environ.get("NSC_RSS_EXIT_GB")
+    if env is not None:
+        v = float(env)
+        return v if v > 0 else None
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) / 2**20  # kB -> GiB
+                    break
+            else:
+                return None
+    except (OSError, ValueError):
+        return None
+    return 0.8 * total_gb if total_gb >= 32 else None
 
 
 def run_with_deadline(

@@ -42,7 +42,14 @@ LOG="$WORKDIR.log"
 WLOG="$REPO/runs/watchdog.log"
 PID_FILE=${PID_FILE:-/tmp/train_run.pid}
 STOP_FILE=${STOP_FILE:-/tmp/train_stop}
-GRACE_S=${GRACE_S:-900}
+# grace 1500 (was 900): on 2026-08-19 a relaunch restoring the step-80000
+# full state while a pytest run shared the single host core produced its
+# first metrics row >976 s after launch — the 900 s grace stale-killed a
+# HEALTHY restore mid-pull, and the fruitless counter then charged the kill
+# to the device. 1500 s covers restore+cold-compile on a contended host;
+# legit-stall detection only moves out by the same 10 min, which a
+# multi-hour run can afford.
+GRACE_S=${GRACE_S:-1500}
 STALE_S=${STALE_S:-600}
 WEDGE_BACKOFF_S=${WEDGE_BACKOFF_S:-300}
 TOTAL_STEPS=$(printf ' %s ' "$@" | grep -oP -- '--steps[= ]\K[0-9]+' || echo "")

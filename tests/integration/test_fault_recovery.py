@@ -67,6 +67,57 @@ def test_crash_and_resume(tmp_path):
     assert np.isfinite(best["value"]) and 1 <= best["step"] <= 7
 
 
+def test_rss_limit_exits_cleanly_with_resumable_full_save(tmp_path, monkeypatch):
+    """Host-RSS guard (2026-08-19 OOM incident: relay transfer-buffer leak
+    grew the flagship train process to 130 GB and the OOM killer SIGKILLed
+    it, stranding the device claim): when RSS exceeds NSC_RSS_EXIT_GB at a
+    checkpoint boundary, the loop must take a FULL synchronous save and exit
+    EXIT_RSS_LIMIT — and a relaunch must resume from that save."""
+    import pytest
+
+    from nsc_tpu.train import checkpoint as ckpt
+    from nsc_tpu.utils.liveness import EXIT_RSS_LIMIT, host_rss_gb
+
+    assert host_rss_gb() > 0.05, "statm-based RSS reading looks broken"
+
+    cfg = get_config("tiny_test")
+    wd = str(tmp_path / "run")
+    # any running Python process exceeds 1 MB RSS -> fires at the first
+    # checkpoint boundary (step 3), NOT at the final step (guarded out)
+    monkeypatch.setenv("NSC_RSS_EXIT_GB", "0.001")
+    with pytest.raises(SystemExit) as e:
+        loop_lib.run(cfg, _tcfg(), workdir=wd, data_spec="synthetic", steps=7)
+    assert e.value.code == EXIT_RSS_LIMIT
+    mgr = ckpt._manager(os.path.join(wd, "train"))
+    assert 3 in mgr.all_steps(), "exit save was not a resumable FULL save"
+
+    # supervisor relaunch: guard off (healthy RSS) -> resumes, completes
+    monkeypatch.setenv("NSC_RSS_EXIT_GB", "0")
+    loop_lib.run(cfg, _tcfg(), workdir=wd, data_spec="synthetic", steps=7)
+    assert ckpt.latest_step(os.path.join(wd, "train")) == 7
+    steps = [
+        json.loads(line)["step"]
+        for line in open(os.path.join(wd, "metrics.jsonl"))
+    ]
+    assert sorted(set(steps)) == steps, "steps re-ran from zero after resume"
+
+
+def test_rss_exit_limit_default_and_override(monkeypatch):
+    """Env contract: explicit NSC_RSS_EXIT_GB wins, 0 disables; the default
+    is relative to MemTotal and disabled on small hosts."""
+    from nsc_tpu.utils import liveness
+
+    monkeypatch.setenv("NSC_RSS_EXIT_GB", "12.5")
+    assert liveness.rss_exit_limit_gb() == 12.5
+    monkeypatch.setenv("NSC_RSS_EXIT_GB", "0")
+    assert liveness.rss_exit_limit_gb() is None
+    monkeypatch.delenv("NSC_RSS_EXIT_GB")
+    limit = liveness.rss_exit_limit_gb()
+    # this host either qualifies (>=32 GB -> 80% of MemTotal) or doesn't
+    if limit is not None:
+        assert limit >= 0.8 * 32
+
+
 def test_first_checkpoint_boundary_is_a_full_save(tmp_path):
     """A fresh run must leave a resumable FULL save at its first checkpoint
     boundary even when full_state_every is larger: a crash in the first
