@@ -97,14 +97,17 @@ while true; do
     echo "$(date) run complete" >> "$WLOG"; exit 0
   fi
   now=$(date +%s)
-  [ $(( now - LAUNCH_T )) -lt "$GRACE_S" ] && continue
+  # Death detection runs BEFORE the grace gate: a dead pid is unambiguous
+  # (no risk of killing a healthy restore), and during a relay wedge the
+  # liveness probe exits 97 within minutes — gating detection on the grace
+  # stretched every reclaim attempt to GRACE_S (25 min) per cycle.
   if ! kill -0 "$(cat "$PID_FILE")" 2>/dev/null; then
     # The training process is our child, so `wait` can recover its exit
     # status even after death. rc==0 means main() returned cleanly — the
     # run is COMPLETE (covers --steps=N and config-default step counts the
     # TOTAL_STEPS grep can't see); anything else (crash, liveness exit
-    # 97/98, kill) is a restart. 127 = unknown pid (not our child after a
-    # supervisor restart): fall through to restart, auto-resume makes
+    # 97/98/99, kill) is a restart. 127 = unknown pid (not our child after
+    # a supervisor restart): fall through to restart, auto-resume makes
     # relaunching a finished run a no-op that then exits 0.
     wait "$(cat "$PID_FILE")" 2>/dev/null
     rc=$?
@@ -114,6 +117,9 @@ while true; do
     echo "$(date) process gone (rc=$rc) -> restart" >> "$WLOG"
     launch "$@"; continue
   fi
+  # the stale check below, by contrast, DOES need the grace: restore +
+  # cold compile legitimately produce no metrics rows for many minutes
+  [ $(( now - LAUNCH_T )) -lt "$GRACE_S" ] && continue
   age=$(( now - $(stat -c %Y "$M" 2>/dev/null || echo 0) ))
   if [ "$age" -gt "$STALE_S" ]; then
     echo "$(date) stale ${age}s -> restart" >> "$WLOG"
